@@ -1,0 +1,246 @@
+"""Physics attention — the Transolver++ rep-slice tokenizer.
+
+Three variants sharing one 3-phase core (slice -> Erwin transform ->
+deslice), differing only in the input projection, exactly as the reference
+(``models/PhysicsAttention/__init__.py:2-4``):
+
+* :class:`PhysicsAttentionStructuredMesh2D` — Conv2d projection
+  (``StructuredMesh2D.py:109``)
+* :class:`PhysicsAttentionStructuredMesh3D` — Conv3d projection
+  (``StructuredMesh3D.py:113``)
+* :class:`PhysicsAttentionIrregularMesh` — Linear projection
+  (``IrregularMesh.py:95``)
+
+TPU-first design notes:
+
+* Convs run in NHWC (feature-last) layout — native for XLA:TPU; the reference
+  permutes to NCHW for torch.
+* The slice/eidetic/deslice einsums (``haet_tpu.ops.slice_ops``) are the only
+  N-scaling ops; they compile to MXU matmuls and are exact under point-axis
+  sharding (each is a reduction over N).
+* The Erwin stage sees ``B*heads`` independent clouds of exactly
+  ``slice_num`` states (the reference encodes this via ``batch_idx``
+  ``arange(B*H).repeat_interleave(G)``, ``StructuredMesh2D.py:238``); here it
+  is simply a dense ``[B*H, G, C]`` batch — no ragged indexing at all.
+
+Aliases with the reference's exact class names are exported from
+``haet_tpu.models``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import slice_ops
+from ..ops.ball_groups import pad_pow2
+from .components.mlp import trunc_normal_init
+from .erwin import ErwinTransformer
+
+
+def torch_conv_kernel_init():
+    """torch Conv default (kaiming_uniform(a=sqrt(5))) equivalent: the
+    reference's ``_init_weights`` only overrides Linear/norm layers, so convs
+    keep the torch default (uniform with variance ``1/(3*fan_in)``)."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class _PhysicsAttentionBase(nn.Module):
+    """Shared slice/transform/deslice core (``StructuredMesh2D.py:157-262``)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    slice_num: int = 64
+    base_temp: float = 0.5
+    epsilon: float = 1e-6
+    # ErwinTransformer parameters (None -> reference defaults, :121-134)
+    c_hidden: Optional[Sequence[int]] = None
+    ball_sizes: Optional[Sequence[int]] = None
+    enc_num_heads: Optional[Sequence[int]] = None
+    enc_depths: Optional[Sequence[int]] = None
+    dec_num_heads: Optional[Sequence[int]] = None
+    dec_depths: Optional[Sequence[int]] = None
+    strides: Optional[Sequence[int]] = None
+    rotate: int = 1
+    decode: bool = True
+    mlp_ratio: int = 4
+    mp_steps: int = 0
+    embed: bool = False
+    # TPU-build knobs
+    use_dist_bias: bool = True
+    grouping: str = "median"
+    orthogonal_slice_init: bool = True
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def dimensionality(self) -> int:
+        raise NotImplementedError
+
+    def _project(self, x):
+        """Return ``[B, heads, N, dim_head]`` projected features."""
+        raise NotImplementedError
+
+    def _erwin_defaults(self):
+        g, h, dh = self.slice_num, self.heads, self.dim_head
+        return dict(
+            c_hidden=tuple(self.c_hidden) if self.c_hidden else (dh, dh * 2),
+            ball_sizes=tuple(self.ball_sizes) if self.ball_sizes
+            else (min(32, g), min(16, g // 2)),
+            enc_num_heads=tuple(self.enc_num_heads) if self.enc_num_heads
+            else (h // 2, h),
+            enc_depths=tuple(self.enc_depths) if self.enc_depths else (2, 2),
+            dec_num_heads=tuple(self.dec_num_heads) if self.dec_num_heads
+            else (h // 2,),
+            dec_depths=tuple(self.dec_depths) if self.dec_depths else (2,),
+            strides=tuple(self.strides) if self.strides else (2,),
+        )
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        """x: [B, N, dim] -> [B, N, dim]."""
+        B, N, _ = x.shape
+        G, H, Dh = self.slice_num, self.heads, self.dim_head
+
+        ### (1) Slice (StructuredMesh2D.py:180-213)
+        x_proj = self._project(x)  # [B, H, N, Dh]
+
+        slice_init = (
+            nn.initializers.orthogonal()
+            if self.orthogonal_slice_init else trunc_normal_init()
+        )
+        temp_raw = nn.Dense(
+            1, kernel_init=trunc_normal_init(), bias_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="ada_temp_linear",
+        )(x_proj)
+        tau = slice_ops.ada_temp(temp_raw, self.base_temp)
+        logits = nn.Dense(
+            G, kernel_init=slice_init, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="in_project_slice",
+        )(x_proj)
+        w = slice_ops.rep_slice_weights(logits, tau, self.epsilon)
+        states = slice_ops.eidetic_states(x_proj, w)  # [B, H, G, Dh]
+
+        ### (2) Transform with Erwin (StructuredMesh2D.py:215-246)
+        d = self.dimensionality
+        flat = states.reshape(B * H * G, Dh)
+        # Center-of-mass pseudo-positions: first `d` feature channels,
+        # min-max normalized over the GLOBAL flat batch (:228-234).
+        feat = jax.lax.stop_gradient(flat[:, :d])
+        fmin = feat.min(axis=0, keepdims=True)
+        fmax = feat.max(axis=0, keepdims=True)
+        pos = (feat - fmin) / (fmax - fmin + 1e-8)
+        pos = pos.reshape(B * H, G, d)
+
+        s_in = states.reshape(B * H, G, Dh)
+        mask = None
+        if G & (G - 1):  # pad non-power-of-two slice counts
+            s_in, pos, mask = pad_pow2(s_in, pos)
+
+        erwin = ErwinTransformer(
+            c_in=Dh,
+            rotate=self.rotate,
+            decode=self.decode,
+            mlp_ratio=self.mlp_ratio,
+            dimensionality=d,
+            mp_steps=self.mp_steps,
+            embed=self.embed,
+            use_dist_bias=self.use_dist_bias,
+            grouping=self.grouping,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="erwin",
+            **self._erwin_defaults(),
+        )
+        out_states = erwin(s_in, pos, mask=mask, train=train)
+        if mask is not None:
+            # Mask-aware unpermute sorts valid slots (originals 0..G-1)
+            # first, so dropping the pad tail restores the G slice states.
+            out_states = out_states[:, :G]
+        out_states = out_states.reshape(B, H, G, Dh)
+
+        ### (3) Deslice (StructuredMesh2D.py:248-262)
+        out = slice_ops.deslice(out_states, w)
+        out = slice_ops.merge_heads(out)
+        out = nn.Dense(
+            self.dim, kernel_init=trunc_normal_init(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="to_out",
+        )(out)
+        return nn.Dropout(self.dropout)(out, deterministic=not train)
+
+
+class PhysicsAttentionIrregularMesh(_PhysicsAttentionBase):
+    """Linear slice projection (reference ``IrregularMesh.py:95``;
+    dimensionality=3 hardcoded at :91)."""
+
+    @property
+    def dimensionality(self) -> int:
+        return 3
+
+    def _project(self, x):
+        inner = self.dim_head * self.heads
+        xp = nn.Dense(
+            inner, kernel_init=trunc_normal_init(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="in_project_x",
+        )(x)
+        return slice_ops.split_heads(xp, self.heads)
+
+
+class PhysicsAttentionStructuredMesh2D(_PhysicsAttentionBase):
+    """Conv2d slice projection over the H x W grid
+    (reference ``StructuredMesh2D.py:109``)."""
+
+    H: int = 101
+    W: int = 31
+    kernel: int = 3
+
+    @property
+    def dimensionality(self) -> int:
+        return 2
+
+    def _project(self, x):
+        B, N, C = x.shape
+        inner = self.dim_head * self.heads
+        xg = x.reshape(B, self.H, self.W, C)  # NHWC — TPU-native layout
+        xp = nn.Conv(
+            inner, (self.kernel, self.kernel), padding="SAME",
+            kernel_init=torch_conv_kernel_init(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="in_project_x",
+        )(xg)
+        return slice_ops.split_heads(xp.reshape(B, N, inner), self.heads)
+
+
+class PhysicsAttentionStructuredMesh3D(_PhysicsAttentionBase):
+    """Conv3d slice projection over the H x W x D volume
+    (reference ``StructuredMesh3D.py:113``)."""
+
+    H: int = 32
+    W: int = 32
+    D: int = 32
+    kernel: int = 3
+
+    @property
+    def dimensionality(self) -> int:
+        return 3
+
+    def _project(self, x):
+        B, N, C = x.shape
+        inner = self.dim_head * self.heads
+        xg = x.reshape(B, self.H, self.W, self.D, C)
+        xp = nn.Conv(
+            inner, (self.kernel, self.kernel, self.kernel), padding="SAME",
+            kernel_init=torch_conv_kernel_init(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="in_project_x",
+        )(xg)
+        return slice_ops.split_heads(xp.reshape(B, N, inner), self.heads)

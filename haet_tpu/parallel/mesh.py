@@ -1,0 +1,52 @@
+"""Device-mesh / sharding helpers (SPMD over ICI).
+
+The reference is single-process single-GPU (SURVEY.md §2.7); here scaling is
+first-class: a ``jax.sharding.Mesh`` with axes
+
+* ``dp`` — data parallel over the batch (the primary axis),
+* ``tp`` — tensor parallel over attention heads (heads are embarrassingly
+  parallel: the Erwin stage treats ``B*heads`` as independent clouds,
+  reference ``StructuredMesh2D.py:238``).
+
+XLA's SPMD partitioner inserts the collectives (gradient ``psum`` over dp,
+head-axis all-gathers only at the merge) — no hand-written backend, and they
+ride ICI when the mesh matches the physical topology.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_dp: int | None = None, n_tp: int = 1, devices=None) -> Mesh:
+    """Create a ``(dp, tp)`` mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_dp is None:
+        n_dp = n // n_tp
+    if n_dp * n_tp != n:
+        raise ValueError(f"dp({n_dp}) * tp({n_tp}) != device count ({n})")
+    arr = np.asarray(devices).reshape(n_dp, n_tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over dp, replicate the rest."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def head_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, heads, ...] sharded batch-over-dp, heads-over-tp."""
+    return NamedSharding(mesh, P("dp", "tp"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Device-put every array in ``tree`` with its batch axis over dp."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
