@@ -1,0 +1,2 @@
+from . import pde_datasets, synthetic  # noqa: F401
+from .synthetic import batch_iter  # noqa: F401

@@ -1,0 +1,121 @@
+"""Synthetic dataset generators — shape/statistics stand-ins for each
+benchmark so every driver, test and bench runs without the (unshipped)
+datasets. Fields are smooth random Fourier mixtures, matching each task's
+tensor layout (SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _smooth_field(rng, n, h, w, modes: int = 8, channels: int = 1):
+    """Random low-frequency Fourier field on an h x w grid: [n, h, w, C]."""
+    ky = rng.randn(n, modes, modes, channels)
+    kx = rng.randn(n, modes, modes, channels)
+    y = np.linspace(0, np.pi, h)
+    x = np.linspace(0, np.pi, w)
+    basis_y = np.cos(np.outer(np.arange(modes), y))  # [m, h]
+    basis_x = np.cos(np.outer(np.arange(modes), x))  # [m, w]
+    decay = np.exp(-0.5 * (np.arange(modes)[:, None] + np.arange(modes)[None, :]))
+    coef = (ky + kx) * decay[None, :, :, None]
+    field = np.einsum("nabc,ah,bw->nhwc", coef, basis_y, basis_x)
+    field /= np.abs(field).max(axis=(1, 2, 3), keepdims=True) + 1e-8
+    return field.astype(np.float32)
+
+
+def darcy_like(n: int = 8, s: int = 85, seed: int = 0):
+    """(pos [n,s*s,2], coeff [n,s*s], sol [n,s*s]) mimicking piececonst_r421."""
+    rng = np.random.RandomState(seed)
+    raw = _smooth_field(rng, n, s, s)[..., 0]
+    coeff = np.where(raw > 0, 12.0, 3.0).astype(np.float32)  # piecewise const
+    sol = _smooth_field(rng, n, s, s)[..., 0] * 1e-2
+    g = np.linspace(0, 1, s, dtype=np.float32)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    pos = np.stack([gx.ravel(), gy.ravel()], -1)[None].repeat(n, 0)
+    return pos, coeff.reshape(n, -1), sol.reshape(n, -1)
+
+
+def ns_like(n: int = 4, s: int = 64, t_in: int = 10, t_out: int = 10,
+            seed: int = 0):
+    """(pos, u_in [n,s*s,t_in], u_out [n,s*s,t_out]) mimicking NS V1e-5."""
+    rng = np.random.RandomState(seed)
+    u = _smooth_field(rng, n, s, s, channels=t_in + t_out)
+    g = np.linspace(0, 1, s, dtype=np.float32)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    pos = np.stack([gx.ravel(), gy.ravel()], -1)[None].repeat(n, 0)
+    u = u.reshape(n, s * s, t_in + t_out)
+    return pos, u[..., :t_in], u[..., t_in:]
+
+
+def airfoil_like(n: int = 4, h: int = 221, w: int = 51, seed: int = 0):
+    """(pos [n,h*w,2], y [n,h*w]) — structured mesh coords + pressure field."""
+    rng = np.random.RandomState(seed)
+    base = _smooth_field(rng, n, h, w, channels=3)
+    g1 = np.linspace(0, 1, h, dtype=np.float32)
+    g2 = np.linspace(0, 1, w, dtype=np.float32)
+    gx, gy = np.meshgrid(g1, g2, indexing="ij")
+    grid = np.stack([gx, gy], -1)[None]
+    pos = (grid + 0.05 * base[..., :2]).reshape(n, h * w, 2).astype(np.float32)
+    y = base[..., 2].reshape(n, h * w).astype(np.float32)
+    return pos, y
+
+
+def elasticity_like(n: int = 8, npts: int = 972, seed: int = 0):
+    """(pos [n,npts,2], y [n,npts]) — unit-cell point clouds + stress."""
+    rng = np.random.RandomState(seed)
+    pos = rng.rand(n, npts, 2).astype(np.float32)
+    y = (
+        np.sin(3 * pos[..., 0]) * np.cos(2 * pos[..., 1])
+        + 0.1 * rng.randn(n, npts)
+    ).astype(np.float32)
+    return pos, y
+
+
+def plasticity_like(n: int = 4, h: int = 101, w: int = 31, t: int = 20,
+                    seed: int = 0):
+    """(pos [n,h*w,2], y [n,h*w,t,4]) — time-conditioned deformation."""
+    rng = np.random.RandomState(seed)
+    g1 = np.linspace(0, 1, h, dtype=np.float32)
+    g2 = np.linspace(0, 1, w, dtype=np.float32)
+    gx, gy = np.meshgrid(g1, g2, indexing="ij")
+    pos = np.stack([gx.ravel(), gy.ravel()], -1)[None].repeat(n, 0)
+    frames = [_smooth_field(rng, n, h, w, channels=4).reshape(n, h * w, 1, 4)
+              * (i + 1) / t for i in range(t)]
+    return pos.astype(np.float32), np.concatenate(frames, axis=2)
+
+
+def car_like(n: int = 4, npts: int = 4096, seed: int = 0):
+    """ShapeNet-Car-like sample dicts: features x=[pos(3), sdf(1), normal(3)],
+    targets y=[velo(3), press(1)], surface flags
+    (reference ``dataset.py:216-225`` layout)."""
+    rng = np.random.RandomState(seed)
+    samples = []
+    for i in range(n):
+        pos = rng.randn(npts, 3).astype(np.float32)
+        pos /= np.abs(pos).max()
+        surf = rng.rand(npts) < 0.3
+        sdf = (np.linalg.norm(pos, axis=-1, keepdims=True) - 0.5).astype(np.float32)
+        normal = np.where(surf[:, None], pos / (np.linalg.norm(pos, axis=-1,
+                          keepdims=True) + 1e-8), 0.0).astype(np.float32)
+        x = np.concatenate([pos, sdf, normal], axis=-1)
+        velo = np.stack([
+            np.sin(pos[:, 0]), np.cos(pos[:, 1]), 0.1 * pos[:, 2]
+        ], -1).astype(np.float32) * (~surf)[:, None]
+        press = (np.exp(-np.linalg.norm(pos, axis=-1)) * surf).astype(np.float32)
+        y = np.concatenate([velo, press[:, None]], axis=-1)
+        samples.append({"x": x, "y": y, "surf": surf, "pos": pos})
+    return samples
+
+
+def batch_iter(arrays, batch_size: int, shuffle: bool = True, seed: int = 0):
+    """Yield dict batches from a dict of equal-leading-dim arrays."""
+    n = len(next(iter(arrays.values())))
+    rng = np.random.RandomState(seed)
+
+    def gen():
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            sel = idx[i:i + batch_size]
+            yield {k: v[sel] for k, v in arrays.items()}
+
+    return gen

@@ -1,0 +1,282 @@
+"""Training engine: one ``jit``-compiled step, data-parallel over the mesh.
+
+The reference has a per-benchmark hand-written loop (AdamW/Adam + OneCycleLR,
+grad-clip, AMP + GradScaler, per-epoch eval — SURVEY.md §2.5); here a single
+engine covers all benchmarks:
+
+* whole fwd+bwd+update step under one ``jax.jit`` with donated state — the
+  TPU equivalent of (and replacement for) ``torch.compile`` + AMP autocast;
+  bf16 is set per-model via its ``dtype``, no loss scaling needed;
+* data parallelism by construction: batches are placed with a ``dp``
+  sharding, parameters replicated; XLA inserts the gradient ``psum``
+  (SURVEY.md §2.7 — the reference has no distributed path at all);
+* OneCycle == ``optax.cosine_onecycle_schedule`` (torch's default
+  cos-anneal strategy with the same div factors);
+* checkpointing via orbax with true mid-training resume (the reference can
+  only load for eval, ``exp_darcy.py:147``);
+* early stopping with patience (reference ``train.py:21-46``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..utils.config import TrainConfig
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: TrainConfig, total_steps: int):
+    """AdamW/Adam + OneCycle (reference ``exp_darcy.py:132-139``)."""
+    if cfg.schedule == "onecycle":
+        sched = optax.cosine_onecycle_schedule(
+            transition_steps=total_steps,
+            peak_value=cfg.lr,
+            pct_start=cfg.pct_start,
+            div_factor=25.0,
+            final_div_factor=1e4,
+        )
+    elif cfg.schedule == "constant":
+        sched = cfg.lr
+    else:
+        raise ValueError(f"unknown schedule {cfg.schedule!r}")
+
+    if cfg.optimizer == "adamw":
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "adam":
+        tx = optax.adam(sched)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    if cfg.max_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+    return tx
+
+
+class EarlyStopping:
+    """Patience-based early stopping (reference ``train.py:21-46``)."""
+
+    def __init__(self, patience: int = 7, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best: float | None = None
+        self.counter = 0
+        self.should_stop = False
+
+    def update(self, val_loss: float) -> bool:
+        if self.best is None or val_loss < self.best - self.min_delta:
+            self.best = val_loss
+            self.counter = 0
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.should_stop = True
+        return self.should_stop
+
+
+class MetricsLogger:
+    """JSON-lines metrics log (stand-in for the reference's wandb stream,
+    same namespaced keys; reference ``train.py:109-137``)."""
+
+    def __init__(self, path: str | None = None, echo: bool = True):
+        self.path = path
+        self.echo = echo
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, metrics: dict):
+        rec = {k: (float(v) if hasattr(v, "__float__") else v)
+               for k, v in metrics.items()}
+        rec["_time"] = time.time()
+        if self._f:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+        if self.echo:
+            msg = " ".join(
+                f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in rec.items() if k != "_time"
+            )
+            print(msg, flush=True)
+
+
+@dataclass
+class Trainer:
+    """Generic training engine.
+
+    Args:
+        model: a flax module whose ``apply`` takes ``(variables, *batch_args,
+            train=..., mutable=..., rngs=...)``.
+        loss_fn: ``loss_fn(apply_out, batch) -> (loss, aux_dict)`` where
+            ``apply_out`` is the model output for ``batch``.
+        batch_args: ``batch -> tuple`` of positional model inputs.
+        cfg: TrainConfig.
+        total_steps: schedule horizon (steps_per_epoch * epochs).
+    """
+
+    model: Any
+    loss_fn: Callable
+    cfg: TrainConfig
+    total_steps: int
+    batch_args: Callable = field(default=lambda b: (b["x"], b["fx"]))
+    mesh: Any = None
+    eval_fn: Optional[Callable] = None  # (apply_out, batch) -> metric dict
+
+    def __post_init__(self):
+        self.tx = make_optimizer(self.cfg, self.total_steps)
+        self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval)
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, rng, sample_batch) -> TrainState:
+        args = self.batch_args(sample_batch)
+        variables = jax.jit(self.model.init)(rng, *args)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            state = jax.device_put(state, replicate(self.mesh))
+        return state
+
+    def num_params(self, state: TrainState) -> int:
+        return sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
+
+    # -- steps ------------------------------------------------------------
+    def _apply(self, params, batch_stats, batch, train, rng):
+        variables = {"params": params}
+        has_bn = bool(jax.tree_util.tree_leaves(batch_stats))
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+        kwargs = dict(train=train)
+        if train:
+            kwargs["rngs"] = {"dropout": rng}
+            if has_bn:
+                out, updates = self.model.apply(
+                    variables, *self.batch_args(batch),
+                    mutable=["batch_stats"], **kwargs,
+                )
+                return out, updates["batch_stats"]
+            out = self.model.apply(variables, *self.batch_args(batch), **kwargs)
+            return out, batch_stats
+        out = self.model.apply(variables, *self.batch_args(batch), **kwargs)
+        return out, batch_stats
+
+    def _step(self, state: TrainState, batch, rng):
+        def loss(params):
+            out, new_bs = self._apply(params, state.batch_stats, batch, True, rng)
+            l, aux = self.loss_fn(out, batch)
+            return l, (aux, new_bs)
+
+        (l, (aux, new_bs)), grads = jax.value_and_grad(loss, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params,
+            batch_stats=new_bs, opt_state=opt_state,
+        )
+        metrics = {"loss": l, **aux}
+        return new_state, metrics
+
+    def _eval(self, state: TrainState, batch):
+        out, _ = self._apply(state.params, state.batch_stats, batch, False, None)
+        if self.eval_fn is not None:
+            return self.eval_fn(out, batch)
+        l, aux = self.loss_fn(out, batch)
+        return {"loss": l, **aux}
+
+    def train_step(self, state, batch, rng):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            batch = shard_batch(batch, self.mesh)
+        return self._train_step(state, batch, rng)
+
+    def eval_step(self, state, batch):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            batch = shard_batch(batch, self.mesh)
+        return self._eval_step(state, batch)
+
+    # -- loops ------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        train_batches: Callable[[], Iterable],
+        eval_batches: Optional[Callable[[], Iterable]] = None,
+        *,
+        epochs: Optional[int] = None,
+        rng=None,
+        logger: Optional[MetricsLogger] = None,
+        checkpointer: Optional["Checkpointer"] = None,
+        eval_every: int = 1,
+    ) -> TrainState:
+        epochs = epochs if epochs is not None else self.cfg.epochs
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        logger = logger or MetricsLogger()
+        stopper = (
+            EarlyStopping(self.cfg.early_stop_patience,
+                          self.cfg.early_stop_min_delta)
+            if self.cfg.early_stop_patience else None
+        )
+        start_epoch = int(state.step) // max(
+            1, self.total_steps // max(epochs, 1)
+        )
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            train_metrics = []
+            for batch in train_batches():
+                rng, step_rng = jax.random.split(rng)
+                state, m = self.train_step(state, batch, step_rng)
+                train_metrics.append(m)
+            tm = {
+                f"train/{k}": float(np.mean([float(m[k]) for m in train_metrics]))
+                for k in (train_metrics[0] if train_metrics else {})
+            }
+            rec = {"epoch": epoch, **tm,
+                   "epoch/time_seconds": time.time() - t0}
+
+            if eval_batches is not None and (epoch + 1) % eval_every == 0:
+                ev = [self.eval_step(state, b) for b in eval_batches()]
+                em = {
+                    f"val/{k}": float(np.mean([float(m[k]) for m in ev]))
+                    for k in (ev[0] if ev else {})
+                }
+                rec.update(em)
+                val_loss = em.get("val/loss", None)
+                if checkpointer is not None and val_loss is not None:
+                    checkpointer.save_best(state, val_loss, epoch)
+                if stopper is not None and val_loss is not None:
+                    if stopper.update(val_loss):
+                        logger.log({**rec, "early_stop": True})
+                        break
+            logger.log(rec)
+            if checkpointer is not None:
+                checkpointer.save_last(state, epoch)
+        if checkpointer is not None:
+            checkpointer.wait()
+        return state
