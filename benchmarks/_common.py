@@ -1,0 +1,68 @@
+"""Shared glue for the PDE benchmark drivers."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from haet_tpu.utils.env import apply_platform_override  # noqa: E402
+
+apply_platform_override()
+
+
+def base_parser(name: str) -> argparse.ArgumentParser:
+    """Argparse surface mirroring the reference exp_* drivers."""
+    p = argparse.ArgumentParser(name)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--batch-size", type=int, default=4, dest="batch_size")
+    p.add_argument("--n-hidden", type=int, default=128, dest="n_hidden")
+    p.add_argument("--n-layers", type=int, default=8, dest="n_layers")
+    p.add_argument("--n-heads", type=int, default=8, dest="n_heads")
+    p.add_argument("--slice_num", type=int, default=64)
+    p.add_argument("--mlp_ratio", type=int, default=1)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--max_grad_norm", type=float, default=None)
+    p.add_argument("--unified_pos", type=int, default=0)
+    p.add_argument("--ref", type=int, default=8)
+    p.add_argument("--ntrain", type=int, default=1000)
+    p.add_argument("--ntest", type=int, default=200)
+    p.add_argument("--bf16", type=int, default=0)
+    p.add_argument("--data_path", type=str, default="./data/fno")
+    p.add_argument("--out_dir", type=str, default="./runs")
+    p.add_argument("--save_name", type=str, default=name)
+    p.add_argument("--smoke", action="store_true")
+    return p
+
+
+def shrink_for_smoke(args):
+    args.epochs = 2
+    args.n_hidden = 32
+    args.n_layers = 2
+    args.n_heads = 4
+    args.slice_num = 16
+    args.batch_size = 2
+    args.ntrain, args.ntest = 8, 4
+    return args
+
+
+def apply_model_args(cfg, args):
+    cfg.train.lr = args.lr
+    cfg.train.weight_decay = args.weight_decay
+    cfg.train.epochs = args.epochs
+    cfg.train.batch_size = args.batch_size
+    cfg.train.max_grad_norm = args.max_grad_norm
+    cfg.model.n_hidden = args.n_hidden
+    cfg.model.n_layers = args.n_layers
+    cfg.model.n_head = args.n_heads
+    cfg.model.slice_num = args.slice_num
+    cfg.model.mlp_ratio = args.mlp_ratio
+    cfg.model.dropout = args.dropout
+    cfg.model.unified_pos = bool(args.unified_pos)
+    cfg.model.ref = args.ref
+    cfg.model.bf16 = bool(args.bf16)
+    return cfg

@@ -40,7 +40,7 @@ from .physics_attention import (
 _ERWIN_KEYS = (
     "c_hidden", "ball_sizes", "enc_num_heads", "enc_depths", "dec_num_heads",
     "dec_depths", "strides", "rotate", "decode", "mp_steps", "embed",
-    "use_dist_bias", "grouping", "orthogonal_slice_init",
+    "use_dist_bias", "grouping", "orthogonal_slice_init", "use_pallas",
 )
 
 
@@ -132,6 +132,7 @@ class _HAETBase(nn.Module):
     use_dist_bias: bool = True
     grouping: str = "median"
     orthogonal_slice_init: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 

@@ -75,6 +75,7 @@ class _PhysicsAttentionBase(nn.Module):
     use_dist_bias: bool = True
     grouping: str = "median"
     orthogonal_slice_init: bool = True
+    use_pallas: bool = False  # fused slice/deslice kernels (TPU only)
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -114,19 +115,33 @@ class _PhysicsAttentionBase(nn.Module):
             nn.initializers.orthogonal()
             if self.orthogonal_slice_init else trunc_normal_init()
         )
-        temp_raw = nn.Dense(
-            1, kernel_init=trunc_normal_init(), bias_init=nn.initializers.zeros,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            name="ada_temp_linear",
-        )(x_proj)
-        tau = slice_ops.ada_temp(temp_raw, self.base_temp)
-        logits = nn.Dense(
-            G, kernel_init=slice_init, bias_init=nn.initializers.zeros,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            name="in_project_slice",
-        )(x_proj)
-        w = slice_ops.rep_slice_weights(logits, tau, self.epsilon)
-        states = slice_ops.eidetic_states(x_proj, w)  # [B, H, G, Dh]
+        # Raw params (shared by the XLA and fused-Pallas paths).
+        w_slice = self.param("in_project_slice_kernel", slice_init,
+                             (Dh, G), self.param_dtype)
+        b_slice = self.param("in_project_slice_bias", nn.initializers.zeros,
+                             (G,), self.param_dtype)
+        w_ada = self.param("ada_temp_kernel", trunc_normal_init(),
+                           (Dh, 1), self.param_dtype)
+        b_ada = self.param("ada_temp_bias", nn.initializers.zeros,
+                           (1,), self.param_dtype)
+
+        w = None
+        if self.use_pallas:
+            from ..ops.pallas import slice_kernels as sk
+            states, m_res, s_res = sk.slice_states(
+                x_proj.astype(jnp.float32), w_slice, b_slice, w_ada, b_ada,
+                self.base_temp, self.epsilon,
+            )
+            states = states.astype(x_proj.dtype)
+        else:
+            tau = slice_ops.ada_temp(x_proj @ w_ada + b_ada, self.base_temp)
+            logits = x_proj @ w_slice + b_slice
+            w = slice_ops.rep_slice_weights(logits, tau, self.epsilon)
+            states = slice_ops.eidetic_states(x_proj, w)  # [B, H, G, Dh]
+            # Expose slice weights for visualization (the reference stores
+            # them on the module, Transolver.py:104,154-156; here they're
+            # sown and retrieved with capture_intermediates / mutable).
+            self.sow("intermediates", "slice_weights", w)
 
         ### (2) Transform with Erwin (StructuredMesh2D.py:215-246)
         d = self.dimensionality
@@ -167,7 +182,15 @@ class _PhysicsAttentionBase(nn.Module):
         out_states = out_states.reshape(B, H, G, Dh)
 
         ### (3) Deslice (StructuredMesh2D.py:248-262)
-        out = slice_ops.deslice(out_states, w)
+        if self.use_pallas:
+            from ..ops.pallas import slice_kernels as sk
+            out = sk.deslice(
+                x_proj.astype(jnp.float32), w_slice, b_slice, w_ada, b_ada,
+                out_states.astype(jnp.float32), m_res, s_res,
+                self.base_temp, self.epsilon,
+            ).astype(x_proj.dtype)
+        else:
+            out = slice_ops.deslice(out_states, w)
         out = slice_ops.merge_heads(out)
         out = nn.Dense(
             self.dim, kernel_init=trunc_normal_init(),

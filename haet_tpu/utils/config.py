@@ -48,6 +48,7 @@ class ModelConfig:
     use_checkpoint: bool = False
     use_dist_bias: bool = True
     grouping: str = "median"
+    use_pallas: bool = False
     bf16: bool = False
 
     def build(self):
@@ -74,6 +75,7 @@ class ModelConfig:
             mp_steps=self.mp_steps, embed=self.embed,
             use_checkpoint=self.use_checkpoint,
             use_dist_bias=self.use_dist_bias, grouping=self.grouping,
+            use_pallas=self.use_pallas,
             dtype=jnp.bfloat16 if self.bf16 else None,
         )
         if self.variant == "structured_2d":

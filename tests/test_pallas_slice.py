@@ -1,0 +1,90 @@
+"""Fused Pallas slice kernels vs the XLA reference path (interpret mode on
+CPU; the same code compiles with Mosaic on TPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from haet_tpu.ops import slice_ops
+from haet_tpu.ops.pallas import slice_kernels as sk
+
+B, H, N, C, G = 1, 2, 100, 16, 8
+
+
+@pytest.fixture(scope="module", autouse=True)
+def interpret_mode():
+    """Run pallas_call in interpreter mode on CPU."""
+    sk.INTERPRET = True
+    yield
+    sk.INTERPRET = False
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.RandomState(0)
+    return dict(
+        x=jnp.asarray(rng.randn(B, H, N, C).astype(np.float32)),
+        ws=jnp.asarray(rng.randn(C, G).astype(np.float32)),
+        bs=jnp.asarray(rng.randn(G).astype(np.float32)),
+        wa=jnp.asarray(rng.randn(C, 1).astype(np.float32)),
+        ba=jnp.asarray(rng.randn(1).astype(np.float32)),
+        st=jnp.asarray(rng.randn(B, H, G, C).astype(np.float32)),
+    )
+
+
+def xla_weights(d):
+    tau = slice_ops.ada_temp(d["x"] @ d["wa"] + d["ba"], 0.5)
+    return slice_ops.rep_slice_weights(d["x"] @ d["ws"] + d["bs"], tau, 1e-6)
+
+
+def test_slice_states_matches_xla(data):
+    states, m, s = sk._slice_states_impl(
+        data["x"], data["ws"], data["bs"], data["wa"], data["ba"],
+        0.5, 1e-6, 32,
+    )
+    w = xla_weights(data)
+    ref = slice_ops.eidetic_states(data["x"], w)
+    np.testing.assert_allclose(np.asarray(states), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    # m/s residuals reproduce the softmax denominator
+    np.testing.assert_allclose(np.asarray(s) * 0 + 1.0,
+                               np.asarray(w.sum(axis=2)), rtol=1e-5)
+
+
+def test_deslice_matches_xla(data):
+    states, m, s = sk._slice_states_impl(
+        data["x"], data["ws"], data["bs"], data["wa"], data["ba"],
+        0.5, 1e-6, 32,
+    )
+    out = sk._deslice_impl(
+        data["x"], data["ws"], data["bs"], data["wa"], data["ba"],
+        data["st"], m, s, 0.5, 1e-6, 32,
+    )
+    ref = slice_ops.deslice(data["st"], xla_weights(data))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_custom_vjp_grads_match_xla(data):
+    def fused_loss(x, ws, bs, wa, ba):
+        states, m, s = sk.slice_states(x, ws, bs, wa, ba, 0.5, 1e-6, 32)
+        out = sk.deslice(x, ws, bs, wa, ba, states * 2.0, m, s, 0.5, 1e-6, 32)
+        return jnp.sum(out ** 2)
+
+    def xla_loss(x, ws, bs, wa, ba):
+        tau = slice_ops.ada_temp(x @ wa + ba, 0.5)
+        w = slice_ops.rep_slice_weights(x @ ws + bs, tau, 1e-6)
+        states = slice_ops.eidetic_states(x, w)
+        out = slice_ops.deslice(states * 2.0, w)
+        return jnp.sum(out ** 2)
+
+    args = (data["x"], data["ws"], data["bs"], data["wa"], data["ba"])
+    g_fused = jax.grad(fused_loss, argnums=(0, 1, 2, 3, 4))(*args)
+    g_xla = jax.grad(xla_loss, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

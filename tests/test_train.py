@@ -1,0 +1,166 @@
+"""Training engine: losses, schedules, early stopping, end-to-end fit,
+checkpoint resume."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from haet_tpu.train import (
+    Checkpointer,
+    EarlyStopping,
+    RelLpLoss,
+    Trainer,
+    UnitGaussianNormalizer,
+    UnitTransformer,
+    central_diff,
+)
+from haet_tpu.utils.config import TrainConfig
+
+
+def test_rel_lp_loss_matches_torch_testloss():
+    """Oracle: the reference TestLoss.rel (testloss.py:31-45)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 50).astype(np.float32)
+    y = rng.randn(4, 50).astype(np.float32)
+
+    xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+    diff = torch.norm(xt.reshape(4, -1) - yt.reshape(4, -1), 2, 1)
+    ynorm = torch.norm(yt.reshape(4, -1), 2, 1)
+    ref_mean = torch.mean(diff / ynorm).item()
+    ref_sum = torch.sum(diff / ynorm).item()
+
+    assert float(RelLpLoss()(jnp.asarray(x), jnp.asarray(y))) == pytest.approx(
+        ref_mean, rel=1e-5)
+    assert float(RelLpLoss(size_average=False)(jnp.asarray(x), jnp.asarray(y))
+                 ) == pytest.approx(ref_sum, rel=1e-5)
+
+
+def test_central_diff_matches_torch():
+    """Oracle: reference exp_darcy.py:59-68."""
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(1)
+    s = 8
+    x = rng.randn(2, s * s, 1).astype(np.float32)
+    h = 1.0 / s
+
+    xt = torch.from_numpy(x).reshape(2, s, s, 1)
+    xt = F.pad(xt, (0, 0, 1, 1, 1, 1), mode="constant", value=0.0)
+    gx_ref = (xt[:, 1:-1, 2:, :] - xt[:, 1:-1, :-2, :]) / (2 * h)
+    gy_ref = (xt[:, 2:, 1:-1, :] - xt[:, :-2, 1:-1, :]) / (2 * h)
+
+    gx, gy = central_diff(jnp.asarray(x), h, s)
+    np.testing.assert_allclose(np.asarray(gx), gx_ref.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy), gy_ref.numpy(), rtol=1e-5)
+
+
+def test_unit_transformer_matches_torch():
+    rng = np.random.RandomState(2)
+    x = rng.randn(10, 20).astype(np.float32) * 5 + 3
+    ours = UnitTransformer(x)
+    xt = torch.from_numpy(x)
+    mean = xt.mean(dim=(0, 1), keepdim=True)
+    std = xt.std(dim=(0, 1), keepdim=True) + 1e-8
+    np.testing.assert_allclose(
+        ours.encode(x), ((xt - mean) / std).numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours.decode(ours.encode(x)), x, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_unit_gaussian_normalizer_roundtrip():
+    x = np.random.RandomState(3).randn(10, 7, 2).astype(np.float32)
+    n = UnitGaussianNormalizer(x)
+    np.testing.assert_allclose(n.decode(n.encode(x)), x, rtol=1e-4, atol=1e-4)
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=2)
+    assert not es.update(1.0)
+    assert not es.update(0.9)   # improvement
+    assert not es.update(0.95)  # 1
+    assert es.update(0.95)      # 2 -> stop
+    assert es.should_stop
+
+
+class TinyModel:
+    """Linear-regression flax stand-in."""
+
+    def __init__(self):
+        from flax import linen as nn
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                return nn.Dense(1)(x)
+
+        self.m = M()
+
+
+def _make_trainer(total_steps=50, **cfg_kw):
+    tm = TinyModel()
+    cfg = TrainConfig(lr=1e-1, epochs=20, batch_size=8, schedule="constant",
+                      weight_decay=0.0, **cfg_kw)
+    return Trainer(
+        model=tm.m,
+        loss_fn=lambda out, b: (jnp.mean((out - b["y"]) ** 2), {}),
+        cfg=cfg,
+        total_steps=total_steps,
+        batch_args=lambda b: (b["x"],),
+    )
+
+
+def _data(n=64):
+    rng = np.random.RandomState(0)
+    x = rng.randn(n, 4).astype(np.float32)
+    y = (x @ np.array([[1.0], [2], [-1], [0.5]], np.float32)).astype(np.float32)
+    return {"x": x, "y": y}
+
+
+def test_trainer_fits_linear_problem():
+    from haet_tpu.data import batch_iter
+
+    trainer = _make_trainer()
+    d = _data()
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in d.items()})
+    state = trainer.fit(
+        state, batch_iter(d, 8, True, 0),
+        logger=__import__("haet_tpu.train", fromlist=["MetricsLogger"]
+                          ).MetricsLogger(echo=False),
+    )
+    final = float(trainer.eval_step(state, d)["loss"])
+    assert final < 0.05
+
+
+def test_checkpoint_resume(tmp_path):
+    trainer = _make_trainer()
+    d = _data()
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in d.items()})
+    state, _ = trainer.train_step(state, d, jax.random.PRNGKey(1))
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save_last(state, 0)
+    ck.wait()
+    restored = ck.restore(jax.tree_util.tree_map(np.asarray, state))
+    assert restored is not None
+    np.testing.assert_allclose(
+        np.asarray(restored.params["Dense_0"]["kernel"]),
+        np.asarray(state.params["Dense_0"]["kernel"]),
+    )
+    assert int(restored.step) == 1
+
+
+def test_onecycle_schedule_shape():
+    import optax
+    from haet_tpu.train import make_optimizer
+
+    cfg = TrainConfig(lr=1e-3, schedule="onecycle")
+    tx = make_optimizer(cfg, total_steps=100)
+    # warmup then decay: lr at step 30 (peak) > lr at step 0 and step 99
+    sched = optax.cosine_onecycle_schedule(100, 1e-3, 0.3, 25.0, 1e4)
+    assert sched(30) == pytest.approx(1e-3, rel=1e-3)
+    assert sched(0) < sched(30)
+    assert sched(99) < sched(30) / 100
