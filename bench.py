@@ -64,21 +64,28 @@ def main():
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, new_opt, loss
 
-    # warmup / compile
+    # warmup / compile (forced host fetch: under the tunneled-TPU runtime
+    # block_until_ready is effectively a no-op, so timing must end with a
+    # device->host transfer of a value that depends on every step)
     for _ in range(3):
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, x, y
         )
-    loss.block_until_ready()
+    float(loss)
 
-    n_steps = 10
+    # measure the fixed dispatch/fetch round-trip to subtract it
+    t0 = time.perf_counter()
+    float(jnp.sum(loss))
+    rtt = time.perf_counter() - t0
+
+    n_steps = 50
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, x, y
         )
-    loss.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_steps
+    float(loss)  # chained through params: forces all steps to complete
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_steps
 
     pps = N_POINTS * BATCH / dt
     print(json.dumps({

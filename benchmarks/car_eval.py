@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""ShapeNet-Car evaluation CLI (reference ``main_evaluation.py``).
+
+Loads a checkpoint saved by ``car_train.py`` and reports per-sample rel-L2
+(surface pressure / exterior velocity), inference latency, drag-coefficient
+relative error and Spearman rho, plus optional slice-weight visualization
+(``--visualize``, reference ``main_evaluation.py:423-427``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from haet_tpu.utils.env import apply_platform_override  # noqa: E402
+
+apply_platform_override()
+
+import jax
+import numpy as np
+
+from haet_tpu.data import shapenet_car
+from haet_tpu.train import Checkpointer, Trainer
+from haet_tpu.utils.config import shapenet_car_config
+
+from car_train import evaluate, loss_fn_builder, make_batch  # noqa: E402
+
+
+def main(args):
+    cfg = shapenet_car_config()
+    cfg.model.n_hidden = args.n_hidden
+    cfg.model.n_layers = args.n_layers
+    cfg.model.slice_num = args.slice_num
+
+    train_s, val_s, coef, is_synth = shapenet_car.load_train_val_fold(
+        args.data_dir, args.fold_id, savedir=args.save_dir,
+        preprocessed=args.preprocessed,
+    )
+    model = cfg.model.build()
+    trainer = Trainer(
+        model=model, loss_fn=loss_fn_builder(0.5), cfg=cfg.train,
+        total_steps=1, batch_args=lambda b: (b["x"], None),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), make_batch(val_s[0]))
+    ckpt = Checkpointer(args.checkpoint_dir)
+    template = jax.tree_util.tree_map(np.asarray, state)
+    restored = ckpt.restore(template, args.which)
+    if restored is None:
+        print(f"[car_eval] no checkpoint at {args.checkpoint_dir}/{args.which}"
+              " — evaluating the random init")
+    else:
+        state = restored
+
+    metrics = evaluate(trainer, state, val_s, coef)
+    print("relative l2 error press:", metrics["rel_l2_press"])
+    print("relative l2 error velo:", metrics["rel_l2_velo"])
+    if "rho_d" in metrics:
+        print("rho_d:", metrics["rho_d"])
+        print("c_d:", metrics["cd_rel_err"])
+    print("time:", metrics["time_per_sample"])
+
+    if args.visualize:
+        from haet_tpu.utils.visualization import (
+            get_slice_weights, plot_slice_weights_cloud,
+        )
+        s = val_s[0]
+        batch = make_batch(s)
+        variables = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        w = get_slice_weights(model, variables, batch["x"], None)
+        plot_slice_weights_cloud(
+            s.pos, w[:, :, : len(s.pos)], os.path.join(args.out_dir, "slices")
+        )
+        print(f"slice visualizations -> {args.out_dir}/slices")
+    return metrics
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser("HAET-TPU ShapeNet-Car evaluation")
+    p.add_argument("--data_dir", type=str,
+                   default="./data/shapenet_car/mlcfd_data/training_data")
+    p.add_argument("--save_dir", type=str, default=None)
+    p.add_argument("--preprocessed", action="store_true")
+    p.add_argument("--fold_id", type=int, default=0)
+    p.add_argument("--checkpoint_dir", type=str,
+                   default="./runs/checkpoints/car")
+    p.add_argument("--which", type=str, default="best",
+                   choices=["best", "last"])
+    p.add_argument("--n_hidden", type=int, default=256)
+    p.add_argument("--n_layers", type=int, default=2)
+    p.add_argument("--slice_num", type=int, default=32)
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--out_dir", type=str, default="./runs")
+    main(p.parse_args())

@@ -1,0 +1,7 @@
+#!/bin/bash
+# Darcy — canonical config (reference scripts/HAET_Darcy.sh)
+python benchmarks/exp_darcy.py \
+  --data_path "${DATA_DIR:-./data/fno}" \
+  --epochs 500 --lr 1e-3 --batch-size 4 \
+  --n-hidden 128 --n-layers 8 --n-heads 8 --slice_num 64 \
+  --unified_pos 1 --out_dir runs/darcy

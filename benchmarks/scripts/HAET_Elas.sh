@@ -1,0 +1,7 @@
+#!/bin/bash
+# Elasticity — canonical config (reference scripts/HAETransolver_Elas.sh)
+python benchmarks/exp_elas.py \
+  --data_path "${DATA_DIR:-./data/fno}" \
+  --epochs 500 --lr 1e-3 --batch-size 1 \
+  --n-hidden 128 --n-layers 8 --n-heads 8 --slice_num 64 \
+  --out_dir runs/elas

@@ -1,0 +1,7 @@
+#!/bin/bash
+# Plasticity — canonical config (reference scripts/HAETransolver_Plas.sh)
+python benchmarks/exp_plas.py \
+  --data_path "${DATA_DIR:-./data/fno}" \
+  --epochs 500 --lr 1e-3 --batch-size 8 \
+  --n-hidden 128 --n-layers 8 --n-heads 8 --slice_num 64 \
+  --out_dir runs/plas

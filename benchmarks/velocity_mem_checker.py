@@ -37,16 +37,29 @@ def benchmark_model(num_points: int, bf16: bool = True):
     x = jnp.asarray(rng.rand(1, num_points, 3).astype(np.float32))
     fx = jnp.asarray(rng.rand(1, num_points, 1).astype(np.float32))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
-    fwd = jax.jit(lambda v, x, fx: model.apply(v, x, fx))
 
-    for _ in range(3):  # warmup (velocity-mem-checker.py:48-51)
-        out = fwd(variables, x, fx)
-    out.block_until_ready()
+    # N_ITERS data-dependent forwards inside ONE jit: a single dispatch, so
+    # host/tunnel latency cannot hide or floor the per-step time.
+    n_iters = 8
 
+    @jax.jit
+    def chain(variables, x, fx):
+        def body(_, cur):
+            out = model.apply(variables, x, cur)
+            return cur + 0.0 * out
+        return jax.lax.fori_loop(0, n_iters, body, fx)
+
+    # forced host fetches: block_until_ready is a no-op under the tunneled
+    # runtime, so end timing with a scalar transfer
+    float(jnp.sum(chain(variables, x, fx)))  # compile + warmup
     t0 = time.perf_counter()
-    out = fwd(variables, x, fx)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    float(jnp.sum(jnp.zeros(())))
+    rtt = time.perf_counter() - t0
+    fx2 = fx + 0.001
+    float(jnp.sum(fx2))
+    t0 = time.perf_counter()
+    float(jnp.sum(chain(variables, x, fx2)))
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iters
 
     mem = None
     stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()

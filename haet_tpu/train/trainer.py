@@ -91,12 +91,23 @@ class EarlyStopping:
 
 
 class MetricsLogger:
-    """JSON-lines metrics log (stand-in for the reference's wandb stream,
-    same namespaced keys; reference ``train.py:109-137``)."""
+    """JSON-lines metrics log with the reference's wandb key namespacing
+    (``train.py:109-137``); streams to wandb too when the package is
+    importable and ``use_wandb=True``."""
 
-    def __init__(self, path: str | None = None, echo: bool = True):
+    def __init__(self, path: str | None = None, echo: bool = True,
+                 use_wandb: bool = False, wandb_kwargs: dict | None = None):
         self.path = path
         self.echo = echo
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                wandb.init(**(wandb_kwargs or {}))
+                self._wandb = wandb
+            except Exception as e:  # wandb absent or offline
+                print(f"[MetricsLogger] wandb unavailable ({e}); "
+                      "falling back to JSONL only")
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._f = open(path, "a")
@@ -110,6 +121,8 @@ class MetricsLogger:
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in rec.items() if k != "_time"})
         if self.echo:
             msg = " ".join(
                 f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"

@@ -1,0 +1,84 @@
+"""Neighbor search: brute-force correctness and grouped-search recall."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from haet_tpu.ops.neighbors import (
+    knn_edges,
+    knn_edges_brute,
+    knn_edges_grouped,
+    radius_edges,
+)
+
+
+def brute_numpy(pos, k):
+    d = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+    return np.argsort(d, axis=-1, kind="stable")[:, :k]
+
+
+def test_knn_brute_matches_numpy():
+    rng = np.random.RandomState(0)
+    pos = rng.rand(1, 64, 3).astype(np.float32)
+    idx, valid = knn_edges_brute(jnp.asarray(pos), 5)
+    assert valid.all()
+    ref = brute_numpy(pos[0], 5)
+    d_ref = ((pos[0][ref] - pos[0][:, None]) ** 2).sum(-1)
+    d_got = ((pos[0][np.asarray(idx[0])] - pos[0][:, None]) ** 2).sum(-1)
+    # distances of selected neighbors must match the optimal set
+    np.testing.assert_allclose(np.sort(d_got, -1), np.sort(d_ref, -1),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_knn_brute_mask_and_noself():
+    rng = np.random.RandomState(1)
+    pos = rng.rand(1, 16, 2).astype(np.float32)
+    mask = np.ones((1, 16), bool)
+    mask[0, 10:] = False
+    idx, valid = knn_edges_brute(jnp.asarray(pos), 4,
+                                 mask=jnp.asarray(mask),
+                                 include_self=False)
+    # invalid receivers have no edges
+    assert not np.asarray(valid)[0, 10:].any()
+    # no self edges among valid entries
+    rows = np.arange(16)[:, None]
+    v = np.asarray(valid[0])
+    assert not (np.asarray(idx[0]) == rows)[v].any()
+    # no invalid senders
+    assert (np.asarray(idx[0])[v] < 10).all()
+
+
+def test_grouped_knn_high_recall():
+    """Grouped search recovers almost all true neighbors on uniform data."""
+    rng = np.random.RandomState(2)
+    n, k = 3000, 8
+    pos = rng.rand(1, n, 3).astype(np.float32)
+    idx_g, valid_g = knn_edges_grouped(jnp.asarray(pos), k, ball=128)
+    assert valid_g.all()
+    ref = brute_numpy(pos[0], k)
+    got = np.asarray(idx_g[0])
+    recall = np.mean([
+        len(set(got[i]) & set(ref[i])) / k for i in range(n)
+    ])
+    assert recall > 0.95, f"recall {recall}"
+
+
+def test_knn_dispatch_large_n():
+    pos = jnp.asarray(np.random.RandomState(3).rand(1, 5000, 3), jnp.float32)
+    idx, valid = knn_edges(pos, 4)
+    assert idx.shape == (1, 5000, 4)
+    assert int(idx.max()) < 5000
+    assert valid.all()
+
+
+def test_radius_edges_filters():
+    pos = jnp.asarray(
+        np.array([[[0, 0, 0], [0.05, 0, 0], [10, 0, 0], [10.05, 0, 0]]],
+                 np.float32))
+    idx, valid = radius_edges(pos, radius=0.2, k=3)
+    v = np.asarray(valid[0])
+    i = np.asarray(idx[0])
+    # point 0: itself and point 1 in radius; point 2 not
+    nb0 = set(i[0][v[0]].tolist())
+    assert nb0 == {0, 1}
+    nb2 = set(i[2][v[2]].tolist())
+    assert nb2 == {2, 3}
