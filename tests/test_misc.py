@@ -1,0 +1,110 @@
+"""Coverage for config presets, dataset loaders, visualization capture,
+profiling utils, and the car preprocessor."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def test_all_config_presets_build():
+    from haet_tpu.utils.config import PRESETS
+
+    for name, fn in PRESETS.items():
+        cfg = fn()
+        model = cfg.model.build()
+        assert model is not None, name
+
+
+def test_pde_loaders_synthetic_fallback(tmp_path):
+    from haet_tpu.data import pde_datasets as pd
+
+    d = pd.load_darcy(str(tmp_path), downsample=14)
+    assert d["synthetic"] and d["s"] == 31
+    assert d["train"]["x"].shape[1] == 31 * 31
+
+    d = pd.load_ns(str(tmp_path))
+    assert d["train"]["x"].shape[2] == 10
+
+    d = pd.load_structured_mesh(str(tmp_path), "Pipe", 8, 4, 33, 33)
+    assert d["train"]["pos"].shape[2] == 2
+
+    d = pd.load_elasticity(str(tmp_path))
+    assert d["train"]["pos"].shape[1] == 972
+
+    d = pd.load_plasticity(str(tmp_path))
+    assert d["train"]["y"].shape[2:] == (20, 4)
+
+
+def test_synthetic_darcy_is_learnable():
+    """The synthetic solution must be a function of the coefficients
+    (a constant-coeff field gives a different solution than a split one)."""
+    from haet_tpu.data.synthetic import _jacobi_darcy
+
+    a1 = np.full((1, 17, 17), 3.0, np.float32)
+    a2 = a1.copy()
+    a2[:, :, 8:] = 12.0
+    u1 = _jacobi_darcy(a1)
+    u2 = _jacobi_darcy(a2)
+    assert np.abs(u1 - u2).max() > 1e-5
+    # boundary stays zero
+    assert np.abs(u1[:, 0]).max() == 0 and np.abs(u1[:, -1]).max() == 0
+
+
+def test_slice_weight_capture():
+    from haet_tpu.models import HAETransolverIrregularMesh
+    from haet_tpu.utils.visualization import get_slice_weights
+
+    model = HAETransolverIrregularMesh(
+        space_dim=3, fun_dim=1, out_dim=1, n_layers=2, n_hidden=32,
+        n_head=4, slice_num=16, rotate=0,
+    )
+    x = jnp.ones((1, 64, 3))
+    fx = jnp.ones((1, 64, 1))
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    w = get_slice_weights(model, v, x, fx)
+    assert w.shape == (1, 4, 64, 16)
+    np.testing.assert_allclose(w.sum(axis=2), 1.0, rtol=1e-4)
+
+
+def test_profiling_utils():
+    from haet_tpu.utils.profiling import StepTimer, host_rss_mb
+
+    t = StepTimer()
+    with t.step():
+        pass
+    m = t.metrics()
+    assert "train/avg_batch_time" in m and m["train/num_batches"] == 1
+    assert host_rss_mb() > 10
+
+
+def test_preprocess_car_sdf_sign(tmp_path):
+    from haet_tpu.data.preprocess_car import preprocess_sample
+    from haet_tpu.data.vtk_io import write_vtk_ascii_polydata
+
+    pts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float32)
+    quads = np.array([[0, 1, 2, 3], [4, 5, 6, 7], [0, 1, 5, 4],
+                      [2, 3, 7, 6], [0, 3, 7, 4], [1, 2, 6, 5]], np.int64)
+    write_vtk_ascii_polydata(str(tmp_path / "quadpress_smpl.vtk"), pts, quads,
+                             {"press": np.zeros(8)})
+    out = preprocess_sample(str(tmp_path), resolution=8)
+    sdf = out["sdf"]
+    assert sdf[4, 4, 4] < 0      # inside the cube
+    assert sdf[0, 0, 0] > 0      # outside
+    assert out["triangles"].shape == (12, 3)
+
+
+def test_model_dict_registry():
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "benchmarks"))
+    import model_dict
+
+    assert model_dict.get_model("Transolver_2D").__name__ == \
+        "HAETransolverStructuredMesh2D"
+    try:
+        model_dict.get_model("nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
