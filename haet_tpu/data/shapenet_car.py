@@ -241,7 +241,8 @@ def load_train_val_fold(data_dir: str, fold_id: int = 0,
         raw = synthetic.car_like(n=8, npts=4096, seed=0)
         samples = [
             CarSample(pos=d["pos"], x=d["x"], y=d["y"], surf=d["surf"],
-                      name=f"synthetic/{i}")
+                      name=f"synthetic/{i}", quads=d.get("quads"),
+                      surf_slice=d.get("surf_slice"))
             for i, d in enumerate(raw)
         ]
         train, val = samples[:6], samples[6:]

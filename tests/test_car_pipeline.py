@@ -89,13 +89,32 @@ def test_synthetic_fold_loading():
 
 
 def test_pad_sample():
-    raw = synthetic.car_like(1, npts=100)[0]
-    s = shapenet_car.CarSample(pos=raw["pos"], x=raw["x"], y=raw["y"],
-                               surf=raw["surf"])
+    rng = np.random.RandomState(0)
+    s = shapenet_car.CarSample(
+        pos=rng.rand(100, 3).astype(np.float32),
+        x=rng.rand(100, 7).astype(np.float32),
+        y=rng.rand(100, 4).astype(np.float32),
+        surf=rng.rand(100) < 0.5,
+    )
     pos, x, y, surf, mask = shapenet_car.pad_sample(s, 128)
     assert x.shape == (128, 7)
     assert mask[:100].all() and not mask[100:].any()
     assert not surf[100:].any()
+
+
+def test_synthetic_car_has_quads_and_learnable_cd():
+    from haet_tpu.data.car_metrics import drag_coefficient
+
+    raw = synthetic.car_like(3, npts=2048, seed=0)
+    cds = []
+    for d in raw:
+        assert d["quads"] is not None
+        pts = d["pos"][d["surf_slice"]]
+        press = d["y"][d["surf_slice"], 3]
+        velo = d["y"][d["surf_slice"], :3]
+        cds.append(drag_coefficient(pts, d["quads"], press, velo))
+    # different body shapes -> different drag coefficients
+    assert len({round(c, 6) for c in cds}) == 3
 
 
 def test_streaming_normalizer_matches_batch():
