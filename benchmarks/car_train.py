@@ -150,6 +150,8 @@ def main(args):
 
     logger = MetricsLogger(os.path.join(args.out_dir, "car_metrics.jsonl"))
     ckpt = Checkpointer(os.path.join(args.out_dir, "checkpoints", "car"))
+    if args.resume:
+        state = trainer.maybe_restore(state, ckpt)
 
     def train_batches():
         order = np.random.RandomState(0).permutation(len(train_s))
@@ -189,6 +191,7 @@ if __name__ == "__main__":
     p.add_argument("--slice_num", type=int, default=32)
     p.add_argument("--bf16", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="./runs")
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()
     if args.smoke:

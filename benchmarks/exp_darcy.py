@@ -118,6 +118,8 @@ def main(args):
 
     logger = MetricsLogger(os.path.join(args.out_dir, "darcy_metrics.jsonl"))
     ckpt = Checkpointer(os.path.join(args.out_dir, "checkpoints", "darcy"))
+    if args.resume:
+        state = trainer.maybe_restore(state, ckpt)
     state = trainer.fit(
         state,
         train_batches=batch_iter(train, bs, shuffle=True, seed=1),
@@ -149,6 +151,8 @@ if __name__ == "__main__":
     p.add_argument("--bf16", type=int, default=0)
     p.add_argument("--data_path", type=str, default="./data/fno")
     p.add_argument("--out_dir", type=str, default="./runs")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the last checkpoint in out_dir")
     p.add_argument("--smoke", action="store_true",
                    help="tiny synthetic run (CI/dev)")
     args = p.parse_args()

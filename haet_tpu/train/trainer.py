@@ -178,6 +178,20 @@ class Trainer:
     def num_params(self, state: TrainState) -> int:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
 
+    def maybe_restore(self, state: TrainState, checkpointer,
+                      which: str = "last") -> TrainState:
+        """Resume from a checkpoint if one exists (true mid-training resume —
+        the reference can only load weights for eval, exp_darcy.py:147)."""
+        template = jax.tree_util.tree_map(np.asarray, state)
+        restored = checkpointer.restore(template, which)
+        if restored is None:
+            return state
+        print(f"[Trainer] resumed from step {int(restored.step)}")
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            restored = jax.device_put(restored, replicate(self.mesh))
+        return restored
+
     # -- steps ------------------------------------------------------------
     def _apply(self, params, batch_stats, batch, train, rng):
         variables = {"params": params}

@@ -82,3 +82,23 @@ def test_radius_edges_filters():
     assert nb0 == {0, 1}
     nb2 = set(i[2][v[2]].tolist())
     assert nb2 == {2, 3}
+
+
+def test_segment_ops_match_torch_scatter_semantics():
+    import torch
+
+    from haet_tpu.ops.scatter import segment_mean, segment_sum
+
+    rng = np.random.RandomState(5)
+    data = rng.randn(10, 3).astype(np.float32)
+    seg = np.array([0, 0, 1, 1, 1, 3, 3, 0, 2, 2])
+    ours_sum = np.asarray(segment_sum(jnp.asarray(data), jnp.asarray(seg), 5))
+    ours_mean = np.asarray(segment_mean(jnp.asarray(data), jnp.asarray(seg), 5))
+    ref_sum = np.zeros((5, 3), np.float32)
+    np.add.at(ref_sum, seg, data)
+    cnt = np.bincount(seg, minlength=5).astype(np.float32)
+    ref_mean = ref_sum / np.maximum(cnt, 1)[:, None]
+    np.testing.assert_allclose(ours_sum, ref_sum, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ours_mean, ref_mean, rtol=1e-5, atol=1e-6)
+    # empty segment (4) gives zeros, matching torch_scatter
+    assert (ours_mean[4] == 0).all()
