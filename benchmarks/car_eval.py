@@ -62,6 +62,42 @@ def main(args):
         print("c_d:", metrics["cd_rel_err"])
     print("time:", metrics["time_per_sample"])
 
+    if args.scatter and "rho_d" in metrics:
+        # Cd predicted-vs-true scatter (reference main_evaluation.py:360-417)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from car_train import evaluate as _  # noqa: F401
+        # recompute per-sample Cds for the plot
+        from haet_tpu.data.car_metrics import drag_coefficient
+        cds_p, cds_g = [], []
+        for s_ in val_s:
+            if s_.quads is None:
+                continue
+            batch = make_batch(s_)
+            out, _unused = trainer._apply(state.params, state.batch_stats,
+                                          batch, False, None)
+            od = coef.decode_y(np.asarray(out)[0][: len(s_.pos)])
+            yd = coef.decode_y(s_.y)
+            pts = s_.pos[s_.surf_slice]
+            cds_p.append(drag_coefficient(pts, s_.quads,
+                                          od[s_.surf_slice, 3],
+                                          od[s_.surf_slice, :3]))
+            cds_g.append(drag_coefficient(pts, s_.quads,
+                                          yd[s_.surf_slice, 3],
+                                          yd[s_.surf_slice, :3]))
+        fig, ax = plt.subplots(figsize=(5, 5))
+        ax.scatter(cds_g, cds_p, s=16)
+        lo, hi = min(cds_g + cds_p), max(cds_g + cds_p)
+        ax.plot([lo, hi], [lo, hi], "k--", lw=1)
+        ax.set_xlabel("true Cd")
+        ax.set_ylabel("predicted Cd")
+        ax.set_title(f"rho_d={metrics['rho_d']:.3f}")
+        os.makedirs(args.out_dir, exist_ok=True)
+        fig.savefig(os.path.join(args.out_dir, "cd_scatter.png"),
+                    bbox_inches="tight", dpi=120)
+        print(f"Cd scatter -> {args.out_dir}/cd_scatter.png")
+
     if args.visualize:
         from haet_tpu.utils.visualization import (
             get_slice_weights, plot_slice_weights_cloud,
@@ -94,5 +130,6 @@ if __name__ == "__main__":
     p.add_argument("--n_layers", type=int, default=2)
     p.add_argument("--slice_num", type=int, default=32)
     p.add_argument("--visualize", action="store_true")
+    p.add_argument("--scatter", action="store_true")
     p.add_argument("--out_dir", type=str, default="./runs")
     main(p.parse_args())

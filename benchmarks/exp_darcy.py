@@ -131,6 +131,17 @@ def main(args):
     evs = [trainer.eval_step(state, b) for b in batch_iter(test, bs, False)()]
     rel = float(np.mean([float(e["loss"]) for e in evs]))
     print(f"rel_err:{rel}")
+
+    if args.showcase:
+        # prediction / gt / error renders (reference exp_darcy.py:166-200)
+        from haet_tpu.utils.visualization import plot_prediction_triptych
+        batch = {k: v[:1] for k, v in test.items()}
+        out, _ = trainer._apply(state.params, state.batch_stats, batch,
+                                False, None)
+        pred = np.asarray(out)[0, :, 0] * float(y_std) + float(y_mean)
+        out_dir = os.path.join(args.out_dir, "results", "darcy")
+        plot_prediction_triptych(pred, batch["y"][0], s, s, out_dir, 1)
+        print(f"showcase renders -> {out_dir}")
     return rel
 
 
@@ -151,6 +162,8 @@ if __name__ == "__main__":
     p.add_argument("--bf16", type=int, default=0)
     p.add_argument("--data_path", type=str, default="./data/fno")
     p.add_argument("--out_dir", type=str, default="./runs")
+    p.add_argument("--showcase", action="store_true",
+                   help="save prediction/gt/error images after eval")
     p.add_argument("--resume", action="store_true",
                    help="resume from the last checkpoint in out_dir")
     p.add_argument("--smoke", action="store_true",

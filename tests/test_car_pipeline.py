@@ -153,3 +153,43 @@ def test_load_sample_from_vtk(tmp_path):
     assert not s.surf[:4].any()
     # surface velocities looked up from the volume dict
     np.testing.assert_allclose(s.y[4:, 0], 1.0)
+
+
+def test_vtk_binary_roundtrip(tmp_path):
+    """Real mlcfd files are BINARY legacy VTK (big-endian); exercise that
+    parser path with a hand-written file."""
+    import struct
+
+    pts, quads = make_box_quads()
+    press = np.arange(8, dtype=np.float32)
+    velo = np.tile(np.array([[1, 2, 3]], np.float32), (8, 1))
+
+    path = tmp_path / "box_bin.vtk"
+    with open(path, "wb") as f:
+        f.write(b"# vtk DataFile Version 3.0\nbinary box\nBINARY\n")
+        f.write(b"DATASET UNSTRUCTURED_GRID\n")
+        f.write(b"POINTS 8 float\n")
+        f.write(pts.astype(">f4").tobytes())
+        f.write(b"\n")
+        f.write(f"CELLS {len(quads)} {len(quads) * 5}\n".encode())
+        # NOTE: keep big-endian dtype (np.concatenate would byte-swap!)
+        flat = np.c_[np.full(len(quads), 4), quads].astype(">i4").ravel()
+        f.write(flat.tobytes())
+        f.write(b"\n")
+        f.write(f"CELL_TYPES {len(quads)}\n".encode())
+        f.write(np.full(len(quads), 9, dtype=">i4").tobytes())  # VTK_QUAD
+        f.write(b"\n")
+        f.write(b"POINT_DATA 8\n")
+        f.write(b"SCALARS press float 1\nLOOKUP_TABLE default\n")
+        f.write(press.astype(">f4").tobytes())
+        f.write(b"\n")
+        f.write(b"VECTORS velo float\n")
+        f.write(velo.astype(">f4").tobytes())
+        f.write(b"\n")
+
+    data = read_vtk_legacy(str(path))
+    np.testing.assert_allclose(data.points, pts)
+    np.testing.assert_array_equal(data.quads, quads)
+    np.testing.assert_allclose(data.point_data["press"][:, 0], press)
+    np.testing.assert_allclose(data.point_data["velo"], velo)
+    np.testing.assert_array_equal(data.cell_types, np.full(6, 9))
