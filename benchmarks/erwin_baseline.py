@@ -21,7 +21,6 @@ from haet_tpu.utils.env import apply_platform_override  # noqa: E402
 apply_platform_override()
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 

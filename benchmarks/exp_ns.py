@@ -17,7 +17,7 @@ import numpy as np
 
 from haet_tpu.data import batch_iter
 from haet_tpu.data.pde_datasets import load_ns
-from haet_tpu.train import Checkpointer, MetricsLogger, RelLpLoss, Trainer
+from haet_tpu.train import Checkpointer, MetricsLogger, RelLpLoss
 from haet_tpu.utils.config import ns_config
 
 T_IN, T_OUT, STEP = 10, 10, 1

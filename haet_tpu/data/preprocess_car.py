@@ -36,7 +36,6 @@ def sample_sdf_grid(points: np.ndarray, quads: np.ndarray,
     """
     from sklearn.neighbors import NearestNeighbors
 
-    from .car_metrics import quad_cell_normals
     from .shapenet_car import point_normals
 
     if bounds is None:

@@ -8,7 +8,6 @@ match exactly at every granularity.
 
 import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -158,8 +158,6 @@ def test_load_sample_from_vtk(tmp_path):
 def test_vtk_binary_roundtrip(tmp_path):
     """Real mlcfd files are BINARY legacy VTK (big-endian); exercise that
     parser path with a hand-written file."""
-    import struct
-
     pts, quads = make_box_quads()
     press = np.arange(8, dtype=np.float32)
     velo = np.tile(np.array([[1, 2, 3]], np.float32), (8, 1))

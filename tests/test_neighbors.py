@@ -85,8 +85,6 @@ def test_radius_edges_filters():
 
 
 def test_segment_ops_match_torch_scatter_semantics():
-    import torch
-
     from haet_tpu.ops.scatter import segment_mean, segment_sum
 
     rng = np.random.RandomState(5)

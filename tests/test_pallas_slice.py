@@ -1,13 +1,10 @@
 """Fused Pallas slice kernels vs the XLA reference path (interpret mode on
 CPU; the same code compiles with Mosaic on TPU)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental import pallas as pl
 
 from haet_tpu.ops import slice_ops
 from haet_tpu.ops.pallas import slice_kernels as sk
