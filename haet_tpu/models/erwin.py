@@ -259,11 +259,19 @@ class BasicLayer(nn.Module):
                 self.dtype, self.param_dtype, name="unpool",
             )(node, train=train)
 
+        n_level = node.x.shape[1]
+        bs_eff = 1 << (min(self.ball_size, n_level).bit_length() - 1)
+        full_ball = bs_eff >= n_level
         rotate_flags = (
             [i % 2 == 1 for i in range(self.depth)]
             if self.rotate else [False] * self.depth
         )
         for i, rot in enumerate(rotate_flags):
+            if rot and full_ball:
+                # single-ball level: rotation is a permutation inside the
+                # ball and full-ball attention is permutation-equivariant —
+                # identical output without the gathers.
+                rot = False
             blk = ErwinTransformerBlock(
                 hidden_dim, self.num_heads, self.ball_size, self.mlp_ratio,
                 self.dimensionality, self.use_dist_bias, self.dtype,

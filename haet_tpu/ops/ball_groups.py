@@ -284,10 +284,22 @@ def build_erwin_perms(
         ]
         n_level = N
         for i in range(num_layers):
-            t = min(targets[i], int(math.log2(max(n_level, 1))))
-            rp = grouper(leaves, t)
-            rot_perms.append(rp)
-            rot_inv_perms.append(invert_perm(rp))
+            # When the ball covers the whole cloud (common with slice-token
+            # clouds: ball_sizes default to min(32, G)), rotation only
+            # permutes tokens *within* the single ball — attention over a
+            # full ball is permutation-equivariant, so
+            # blk(x[rot])[rot_inv] == blk(x) exactly. Skip the partition
+            # build and the per-block gathers; BasicLayer treats a None
+            # rot_perm at full-ball levels as this no-op.
+            bs_eff = 1 << (min(ball_sizes[i], n_level).bit_length() - 1)
+            if bs_eff >= n_level:
+                rot_perms.append(None)
+                rot_inv_perms.append(None)
+            else:
+                t = min(targets[i], int(math.log2(max(n_level, 1))))
+                rp = grouper(leaves, t)
+                rot_perms.append(rp)
+                rot_inv_perms.append(invert_perm(rp))
             if i < num_layers - 1:
                 s = strides[i]
                 leaves = leaves.reshape(B, n_level // s, s, D).mean(axis=2)
