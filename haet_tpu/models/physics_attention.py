@@ -137,6 +137,9 @@ class _PhysicsAttentionBase(nn.Module):
             tau = slice_ops.ada_temp(x_proj @ w_ada + b_ada, self.base_temp)
             logits = x_proj @ w_slice + b_slice
             w = slice_ops.rep_slice_weights(logits, tau, self.epsilon)
+            # softmax runs in f32 (param promotion); store the [B,H,N,G]
+            # weights in the compute dtype — the largest activation
+            w = w.astype(x_proj.dtype)
             states = slice_ops.eidetic_states(x_proj, w)  # [B, H, G, Dh]
             # Expose slice weights for visualization (the reference stores
             # them on the module, Transolver.py:104,154-156; here they're

@@ -74,8 +74,11 @@ def eidetic_states(x_proj, slice_weights):
         "bhnc,bhng->bhgc", x_proj, slice_weights,
         preferred_element_type=jnp.float32,
     )
-    norm = jnp.sum(slice_weights, axis=2)  # [B, H, G]
-    return states / (norm + SLICE_NORM_EPS)[..., None]
+    norm = jnp.sum(slice_weights.astype(jnp.float32), axis=2)  # [B, H, G]
+    out = states / (norm + SLICE_NORM_EPS)[..., None]
+    # accumulate in f32, store in the compute dtype (halves HBM traffic
+    # under the bf16 policy; exact for f32 inputs)
+    return out.astype(x_proj.dtype)
 
 
 def deslice(states, slice_weights):
@@ -91,7 +94,7 @@ def deslice(states, slice_weights):
     return jnp.einsum(
         "bhgc,bhng->bhnc", states, slice_weights,
         preferred_element_type=jnp.float32,
-    )
+    ).astype(states.dtype)
 
 
 def merge_heads(x):
