@@ -41,10 +41,13 @@ def main(args):
 
     train = {k: v.astype(np.float32) for k, v in data["train"].items()}
     test = {k: v.astype(np.float32) for k, v in data["test"].items()}
+    # clamp batch size to the dataset (tiny synthetic stand-ins)
+    cfg.train.batch_size = min(cfg.train.batch_size, len(train["y"]),
+                               len(test["y"]))
 
     model = cfg.model.build()
     rel_l2 = RelLpLoss(size_average=False)
-    bs = cfg.train.batch_size
+    bs = cfg.train.batch_size  # already clamped above
     ts = jnp.arange(t_steps, dtype=jnp.float32)
 
     def all_t_forward(params, batch_stats, batch, train_mode, rng):
@@ -83,7 +86,7 @@ def main(args):
     sample = {k: v[:bs] for k, v in train.items()}
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(cfg.train.seed), sample["pos"], sample["fx"],
-        jnp.zeros((bs, 1)),
+        jnp.zeros((sample["pos"].shape[0], 1)),
     )
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],
