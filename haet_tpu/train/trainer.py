@@ -280,6 +280,9 @@ class Trainer:
                 rng, step_rng = jax.random.split(rng)
                 state, m = self.train_step(state, batch, step_rng)
                 train_metrics.append(m)
+            if not train_metrics and epoch == start_epoch:
+                print("[Trainer] WARNING: train_batches yielded no batches "
+                      "(batch size larger than the dataset?)")
             tm = {
                 f"train/{k}": float(np.mean([float(m[k]) for m in train_metrics]))
                 for k in (train_metrics[0] if train_metrics else {})
