@@ -59,7 +59,13 @@ def benchmark_model(num_points: int, bf16: bool = True):
     float(jnp.sum(fx2))
     t0 = time.perf_counter()
     float(jnp.sum(chain(variables, x, fx2)))
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iters
+    elapsed = time.perf_counter() - t0
+    if elapsed <= rtt * 1.2:
+        # below round-trip resolution: device time indistinguishable from
+        # the dispatch/fetch latency — report the upper bound
+        dt = elapsed / n_iters
+    else:
+        dt = (elapsed - rtt) / n_iters
 
     mem = None
     stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
