@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Microbench: where does the fused Erwin-block time go on TPU?
+
+Chains many calls through data dependencies inside one jit (tunnel-safe
+timing), at the exact bench shapes (clouds folded: rows=256, C=32, h=4).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from haet_tpu.models.erwin import ErwinTransformerBlock
+
+REPS = 100  # placeholder; timed() uses differential rep counts
+
+_REPS_LO, _REPS_HI = 50, 1050
+
+
+def timed(make_fn, *args):
+    """Differential timing: (t_hi - t_lo) / (hi - lo) cancels the tunnel
+    dispatch/fetch RTT, which is ~26 ms and otherwise swamps us-level
+    kernel costs."""
+    def measure(reps):
+        fn = jax.jit(make_fn(reps))
+        out = fn(*args)
+        jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            s = jax.tree_util.tree_map(
+                lambda a: jnp.sum(a.astype(jnp.float32)), out)
+            float(sum(jax.tree_util.tree_leaves(s)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (measure(_REPS_HI) - measure(_REPS_LO)) / (_REPS_HI - _REPS_LO)
+
+
+def main():
+    rows, c, d, h, ball = 256, 32, 3, 4, 32
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, rows // 8, c).astype(np.float32))
+    pos = jnp.asarray(rng.rand(8, rows // 8, d).astype(np.float32))
+
+    # 1) trivial pallas kernel, chained REPS times
+    def copy_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 1.000001
+
+    def chain_copy(x2d, reps=REPS):
+        f = pl.pallas_call(
+            copy_kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        )
+        return jax.lax.fori_loop(0, reps, lambda i, v: f(v), x2d)
+
+    print(f"pallas no-op copy   : "
+          f"{timed(lambda r: functools.partial(chain_copy, reps=r), x.reshape(rows, c)) * 1e6:9.1f} us/call",
+          flush=True)
+
+    kw = dict(dim=c, num_heads=h, ball_size=ball, mlp_ratio=4,
+              dimensionality=d, use_dist_bias=True)
+    blk_x = ErwinTransformerBlock(**kw)
+    blk_f = ErwinTransformerBlock(use_pallas=True, **kw)
+    params = blk_x.init(jax.random.PRNGKey(0), x, pos)
+
+    def chain(mod):
+        def mk(reps):
+            def run(x):
+                return jax.lax.fori_loop(
+                    0, reps, lambda i, v: mod.apply(params, v, pos), x)
+            return run
+        return mk
+
+    def chain_grad(mod):
+        def mk(reps):
+            def run(x):
+                def loss(x):
+                    return jnp.sum(mod.apply(params, x, pos) ** 2)
+                return jax.lax.fori_loop(
+                    0, reps, lambda i, v: v + 1e-6 * jax.grad(loss)(v), x)
+            return run
+        return mk
+
+    print(f"xla   block fwd     : {timed(chain(blk_x), x) * 1e6:9.1f} us/call", flush=True)
+    print(f"fused block fwd     : {timed(chain(blk_f), x) * 1e6:9.1f} us/call", flush=True)
+    print(f"xla   block fwd+bwd : {timed(chain_grad(blk_x), x) * 1e6:9.1f} us/call", flush=True)
+    print(f"fused block fwd+bwd : {timed(chain_grad(blk_f), x) * 1e6:9.1f} us/call", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -131,7 +131,15 @@ class BallMSA(nn.Module):
 
 
 class ErwinTransformerBlock(nn.Module):
-    """``x += BMSA(RMSNorm(x)); x += SwiGLU(RMSNorm(x))`` (``layers.py:14-32``)."""
+    """``x += BMSA(RMSNorm(x)); x += SwiGLU(RMSNorm(x))`` (``layers.py:14-32``).
+
+    With ``use_pallas=True`` the whole block (both norms, rel-pos encoding,
+    ball attention, projection, SwiGLU, residuals) runs as ONE fused Pallas
+    TPU kernel (:mod:`haet_tpu.ops.pallas.erwin_block`) — the XLA path is
+    ~20 ops over KB-sized tensors, so per-op overhead dominates. Parameters
+    are created by the regular submodules (identical param tree either way);
+    the fused path reads them from the scope.
+    """
 
     dim: int
     num_heads: int
@@ -139,11 +147,22 @@ class ErwinTransformerBlock(nn.Module):
     mlp_ratio: int
     dimensionality: int = 3
     use_dist_bias: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos):
+        if (self.use_pallas and not self.is_initializing()
+                and self._fused_ok(x.shape)):
+            from ..ops.pallas.erwin_block import fused_erwin_block
+
+            return fused_erwin_block(
+                x, pos, self.variables["params"],
+                ball_size=self.ball_size, num_heads=self.num_heads,
+                use_dist_bias=self.use_dist_bias,
+            )
+
         norm = lambda name: nn.RMSNorm(  # noqa: E731
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
             name=name,
@@ -156,6 +175,11 @@ class ErwinTransformerBlock(nn.Module):
             self.dim, self.dim * self.mlp_ratio, self.dtype, self.param_dtype,
             name="swiglu",
         )(norm("norm2")(x))
+
+    def _fused_ok(self, shape) -> bool:
+        from ..ops.pallas.erwin_block import eligible
+
+        return eligible(shape[1], shape[2], self.num_heads, self.dim)
 
 
 class BallPooling(nn.Module):
@@ -246,6 +270,7 @@ class BasicLayer(nn.Module):
     rotate: bool
     dimensionality: int = 3
     use_dist_bias: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -274,8 +299,8 @@ class BasicLayer(nn.Module):
                 rot = False
             blk = ErwinTransformerBlock(
                 hidden_dim, self.num_heads, self.ball_size, self.mlp_ratio,
-                self.dimensionality, self.use_dist_bias, self.dtype,
-                self.param_dtype, name=f"block{i}",
+                self.dimensionality, self.use_dist_bias, self.use_pallas,
+                self.dtype, self.param_dtype, name=f"block{i}",
             )
             if rot:
                 if node.rot_perm is None:
@@ -417,6 +442,7 @@ class ErwinTransformer(nn.Module):
     mp_steps: int = 3
     embed: bool = True
     use_dist_bias: bool = True
+    use_pallas_blocks: bool = False
     grouping: str = "median"
     mp_neighbors: int = 16
     dtype: jnp.dtype | None = None
@@ -477,6 +503,7 @@ class ErwinTransformer(nn.Module):
                 rotate=self.rotate > 0,
                 dimensionality=self.dimensionality,
                 use_dist_bias=self.use_dist_bias,
+                use_pallas=self.use_pallas_blocks,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"encoder{i}",
             )(node, train=train)
@@ -495,6 +522,7 @@ class ErwinTransformer(nn.Module):
             rotate=self.rotate > 0,
             dimensionality=self.dimensionality,
             use_dist_bias=self.use_dist_bias,
+            use_pallas=self.use_pallas_blocks,
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="bottleneck",
         )(node, train=train)

@@ -41,6 +41,7 @@ _ERWIN_KEYS = (
     "c_hidden", "ball_sizes", "enc_num_heads", "enc_depths", "dec_num_heads",
     "dec_depths", "strides", "rotate", "decode", "mp_steps", "embed",
     "use_dist_bias", "grouping", "orthogonal_slice_init", "use_pallas",
+    "use_pallas_erwin",
 )
 
 
@@ -133,6 +134,7 @@ class _HAETBase(nn.Module):
     grouping: str = "median"
     orthogonal_slice_init: bool = True
     use_pallas: bool = False
+    use_pallas_erwin: bool = False
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 

@@ -76,6 +76,7 @@ class _PhysicsAttentionBase(nn.Module):
     grouping: str = "median"
     orthogonal_slice_init: bool = True
     use_pallas: bool = False  # fused slice/deslice kernels (TPU only)
+    use_pallas_erwin: bool = False  # fused Erwin-block kernel (TPU only)
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -171,6 +172,7 @@ class _PhysicsAttentionBase(nn.Module):
             mp_steps=self.mp_steps,
             embed=self.embed,
             use_dist_bias=self.use_dist_bias,
+            use_pallas_blocks=self.use_pallas_erwin,
             grouping=self.grouping,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
