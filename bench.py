@@ -10,6 +10,15 @@ Baseline: the reference's committed A100 run logs 0.430 s/train-batch at
 BASELINE.md) => 32768 / 0.430 = 76,205 points/sec. ``vs_baseline`` is
 our points/sec divided by that.
 
+Methodology: 40 back-to-back dispatched steps chained through their data
+dependencies (each step consumes the previous params/opt-state, so ALL
+programs must execute serially on the device before the final fetched loss
+can exist — the wall time cannot undercount device time), best-of-3
+windows, one dispatch/fetch RTT subtracted. An in-jit ``lax.fori_loop``
+variant was A/B'd and measured ~3x SLOWER per step on this runtime
+(4.3 ms vs 1.3 ms, same session — see benchmarks/bench_loop_diag.py);
+dispatched steps are both faster and how the Trainer actually runs.
+
 Prints ONE JSON line:
     {"metric": "points_per_sec_fwd_bwd_step", "value": ..., "unit":
      "points/sec/chip", "vs_baseline": ...}
