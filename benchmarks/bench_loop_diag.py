@@ -74,17 +74,20 @@ def main():
             return float(out[3])
         return run
 
-    ks = (5, 20, 45)
+    ks = (5, 45)
     variants = {}
     for k in ks:
         variants[f"A-dispatched k={k:2d}"] = disp(k)
         variants[f"B-loop-tied  k={k:2d}"] = loop(k, True)
         variants[f"C-loop-const k={k:2d}"] = loop(k, False)
-    for run in variants.values():  # compile everything first
+    for name, run in variants.items():  # compile everything first
+        t0 = time.perf_counter()
         run()
+        print(f"compiled {name} in {time.perf_counter() - t0:6.1f} s",
+              flush=True)
 
     best = {name: float("inf") for name in variants}
-    for _ in range(5):  # interleave all variants per round
+    for _ in range(4):  # interleave all variants per round
         for name, run in variants.items():
             t0 = time.perf_counter()
             run()
