@@ -14,10 +14,11 @@ Methodology: 40 back-to-back dispatched steps chained through their data
 dependencies (each step consumes the previous params/opt-state, so ALL
 programs must execute serially on the device before the final fetched loss
 can exist — the wall time cannot undercount device time), best-of-3
-windows, one dispatch/fetch RTT subtracted. An in-jit ``lax.fori_loop``
-variant was A/B'd and measured ~3x SLOWER per step on this runtime
-(4.3 ms vs 1.3 ms, same session — see benchmarks/bench_loop_diag.py);
-dispatched steps are both faster and how the Trainer actually runs.
+windows, one dispatch/fetch RTT subtracted. The hosted chip is time-shared
+and its throughput drifts 3-10x between moments; an in-jit
+``lax.fori_loop`` variant measures the same within that drift
+(benchmarks/bench_loop_diag.py), so "best window" is the meaningful
+number and this dispatched form is also how the Trainer actually runs.
 
 Prints ONE JSON line:
     {"metric": "points_per_sec_fwd_bwd_step", "value": ..., "unit":

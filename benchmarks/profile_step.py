@@ -83,16 +83,7 @@ def main():
     t = timed(loop(step_body), (params, bstats, opt0))
     print(f"train step (fwd+bwd+adam): {t * 1e3:8.3f} ms", flush=True)
 
-    def fwd_body(carry):
-        p, bs, opt = carry
-        out, _ = model.apply({"params": p, "batch_stats": bs}, x, None,
-                             train=True, mutable=["batch_stats"],
-                             rngs={"dropout": jax.random.PRNGKey(1)})
-        return (jax.tree_util.tree_map(
-            lambda a: a + 0 * jnp.mean(out).astype(a.dtype)
-            if a.ndim == 0 else a, p), bs, opt)
-
-    # cheaper: chain fwd through x perturbation
+    # chain fwd through an x perturbation
     def fwd_chain(v):
         out, _ = model.apply({"params": params, "batch_stats": bstats},
                              v, None, train=True, mutable=["batch_stats"],

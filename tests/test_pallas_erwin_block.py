@@ -109,3 +109,27 @@ def test_fused_inside_full_erwin():
     out_fused = fused.apply(variables, x, pos)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_flag_engages_through_model_api(monkeypatch):
+    """use_pallas_erwin on a HAET model must actually reach the fused
+    kernel (guards against a silent fallback making A/Bs meaningless)."""
+    from haet_tpu.models import HAETransolverIrregularMesh
+
+    calls = {"n": 0}
+    orig = eb.fused_erwin_block
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(eb, "fused_erwin_block", counting)
+    m = HAETransolverIrregularMesh(
+        space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
+        n_head=4, slice_num=16, use_pallas_erwin=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 1))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x, fx)
+    calls["n"] = 0
+    m.apply(v, x, fx)
+    assert calls["n"] > 0
