@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """A/B of model flags (use_pallas tokenizer, use_pallas_erwin) on the
-flagship bench config, with in-jit fori_loop + differential timing
-(see bench.py methodology notes)."""
+flagship bench config, with in-jit fori_loop + differential timing.
+
+All variants are compiled first and their timing windows INTERLEAVED —
+the hosted chip's throughput drifts 3-10x between moments, so
+sequentially-timed variants are not comparable (see docs/benchmarks.md,
+"Timing methodology, revisited")."""
 
 from __future__ import annotations
 
@@ -14,7 +18,8 @@ import numpy as np
 import optax
 
 
-def step_time(model, x, y, k_lo=5, k_hi=25):
+def make_runs(model, x, y, k_lo=5, k_hi=25):
+    """Return (run_lo, run_hi, k_lo, k_hi): compiled closures, ready to time."""
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, None)
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = optax.adam(1e-3)
@@ -48,7 +53,7 @@ def step_time(model, x, y, k_lo=5, k_hi=25):
     params, batch_stats, opt_state, loss = jax.jit(train_step)(
         params, batch_stats, opt_state, x, y)
     float(loss)
-    run_lo, run_hi = k_steps(k_lo), k_steps(k_hi)
+    lo, hi = k_steps(k_lo), k_steps(k_hi)
 
     def once(run):
         t0 = time.perf_counter()
@@ -56,13 +61,9 @@ def step_time(model, x, y, k_lo=5, k_hi=25):
         float(out[3])
         return time.perf_counter() - t0
 
-    once(run_lo)
-    once(run_hi)
-    best_lo = best_hi = float("inf")
-    for _ in range(8):
-        best_lo = min(best_lo, once(run_lo))
-        best_hi = min(best_hi, once(run_hi))
-    return max(best_hi - best_lo, 1e-9) / (k_hi - k_lo)
+    once(lo)  # compile
+    once(hi)
+    return once, lo, hi, k_lo, k_hi
 
 
 def main():
@@ -82,12 +83,22 @@ def main():
         "pallas-tokenizer": {"use_pallas": True},
         "pallas-erwin": {"use_pallas_erwin": True},
     }
+    runs = {}
     for name, kw in variants.items():
         model = HAETransolverIrregularMesh(
             space_dim=7, fun_dim=0, out_dim=4, n_layers=2, n_hidden=256,
             n_head=8, slice_num=32, mlp_ratio=2, rotate=45,
             dtype=jnp.bfloat16 if on_tpu else None, **kw)
-        dt = step_time(model, x, y)
+        runs[name] = make_runs(model, x, y)
+        print(f"compiled {name}", flush=True)
+
+    best = {name: [float("inf"), float("inf")] for name in runs}
+    for _ in range(8):  # interleave every variant's lo/hi windows
+        for name, (once, lo, hi, _, _) in runs.items():
+            best[name][0] = min(best[name][0], once(lo))
+            best[name][1] = min(best[name][1], once(hi))
+    for name, (once, lo, hi, k_lo, k_hi) in runs.items():
+        dt = max(best[name][1] - best[name][0], 1e-9) / (k_hi - k_lo)
         print(f"{name:18s} {dt * 1e3:8.3f} ms/step "
               f"{args.points / dt / 1e6:8.2f} Mpts/s", flush=True)
 
