@@ -157,6 +157,7 @@ class Trainer:
         self.tx = make_optimizer(self.cfg, self.total_steps)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval)
+        self._train_scan = jax.jit(self._scan_steps, donate_argnums=(0,))
 
     # -- state ------------------------------------------------------------
     def init_state(self, rng, sample_batch) -> TrainState:
@@ -248,6 +249,42 @@ class Trainer:
             from ..parallel.mesh import shard_batch
             batch = shard_batch(batch, self.mesh)
         return self._eval_step(state, batch)
+
+    def _scan_steps(self, state, batches, rng):
+        def body(carry, batch):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, metrics = self._step(st, batch, sub)
+            return (st, r), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
+        return state, metrics
+
+    def train_steps(self, state, batches, rng):
+        """Run several optimizer steps in ONE device program.
+
+        ``batches``: list of batch pytrees (stacked internally along a new
+        leading axis and consumed by ``lax.scan``). The per-step dropout rng
+        is split from ``rng`` inside the program. Returns
+        ``(state, metrics)`` with each metric stacked ``[K, ...]``.
+
+        Why: on hosted/tunneled runtimes each dispatch pays tunnel latency
+        and the time-shared chip's scheduling; batching K steps into one
+        program measured up to ~2x faster per step in slow regimes
+        (docs/benchmarks.md "Timing methodology, revisited"). With a mesh,
+        per-step dispatch is used instead (sharding is per-batch).
+        """
+        if self.mesh is not None:
+            all_metrics = []
+            for batch in batches:
+                rng, sub = jax.random.split(rng)
+                state, metrics = self.train_step(state, batch, sub)
+                all_metrics.append(metrics)
+            return state, jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *all_metrics)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batches)
+        return self._train_scan(state, stacked, rng)
 
     # -- loops ------------------------------------------------------------
     def fit(

@@ -164,3 +164,34 @@ def test_onecycle_schedule_shape():
     assert sched(30) == pytest.approx(1e-3, rel=1e-3)
     assert sched(0) < sched(30)
     assert sched(99) < sched(30) / 100
+
+
+def test_train_steps_scan_matches_sequential():
+    """K steps in one scanned program == K dispatched train_step calls
+    (same rng split sequence)."""
+    d = _data(32)
+    batches = [{k: v[i * 8:(i + 1) * 8] for k, v in d.items()}
+               for i in range(4)]
+    rng = jax.random.PRNGKey(7)
+
+    t1 = _make_trainer()
+    s1 = t1.init_state(jax.random.PRNGKey(0), batches[0])
+    s1, metrics = t1.train_steps(s1, batches, rng)
+    assert metrics["loss"].shape == (4,)
+
+    t2 = _make_trainer()
+    s2 = t2.init_state(jax.random.PRNGKey(0), batches[0])
+    r = rng
+    seq_losses = []
+    for b in batches:
+        r, sub = jax.random.split(r)
+        s2, m = t2.train_step(s2, b, sub)
+        seq_losses.append(float(m["loss"]))
+
+    assert int(s1.step) == int(s2.step) == 4
+    np.testing.assert_allclose(np.asarray(metrics["loss"]),
+                               np.asarray(seq_losses), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
