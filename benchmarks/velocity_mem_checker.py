@@ -38,34 +38,41 @@ def benchmark_model(num_points: int, bf16: bool = True):
     fx = jnp.asarray(rng.rand(1, num_points, 1).astype(np.float32))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
 
-    # N_ITERS data-dependent forwards inside ONE jit: a single dispatch, so
-    # host/tunnel latency cannot hide or floor the per-step time.
-    n_iters = 8
+    # Data-dependent forwards inside ONE jit (single dispatch), with
+    # DIFFERENTIAL lo/hi iteration counts: (t_hi - t_lo)/(hi - lo) cancels
+    # the dispatch/fetch RTT exactly. Windows are interleaved and the min
+    # of each taken, so both come from the same regime of the drifting,
+    # time-shared chip (docs/benchmarks.md "Timing methodology, revisited").
+    n_lo = 2
+    n_hi = max(16, min(256, 4_000_000 // num_points))  # window >> RTT jitter
 
-    @jax.jit
-    def chain(variables, x, fx):
-        def body(_, cur):
-            out = model.apply(variables, x, cur)
-            return cur + 0.0 * out
-        return jax.lax.fori_loop(0, n_iters, body, fx)
+    def make_chain(n_iters):
+        @jax.jit
+        def chain(variables, x, fx):
+            def body(_, cur):
+                out = model.apply(variables, x, cur)
+                return cur + 0.0 * out
+            return jax.lax.fori_loop(0, n_iters, body, fx)
+        return chain
+
+    chains = {n: make_chain(n) for n in (n_lo, n_hi)}
 
     # forced host fetches: block_until_ready is a no-op under the tunneled
     # runtime, so end timing with a scalar transfer
-    float(jnp.sum(chain(variables, x, fx)))  # compile + warmup
-    t0 = time.perf_counter()
-    float(jnp.sum(jnp.zeros(())))
-    rtt = time.perf_counter() - t0
-    fx2 = fx + 0.001
-    float(jnp.sum(fx2))
-    t0 = time.perf_counter()
-    float(jnp.sum(chain(variables, x, fx2)))
-    elapsed = time.perf_counter() - t0
-    if elapsed <= rtt * 1.2:
-        # below round-trip resolution: device time indistinguishable from
-        # the dispatch/fetch latency — report the upper bound
-        dt = elapsed / n_iters
-    else:
-        dt = (elapsed - rtt) / n_iters
+    def window(n):
+        t0 = time.perf_counter()
+        float(jnp.sum(chains[n](variables, x, fx)))
+        return time.perf_counter() - t0
+
+    window(n_lo)  # compile + warmup
+    window(n_hi)
+    best_lo = best_hi = float("inf")
+    for _ in range(4):
+        best_lo = min(best_lo, window(n_lo))
+        best_hi = min(best_hi, window(n_hi))
+    diff = best_hi - best_lo
+    upper_bound = diff <= 0
+    dt = best_hi / n_hi if upper_bound else diff / (n_hi - n_lo)
 
     mem = None
     stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
@@ -76,6 +83,7 @@ def benchmark_model(num_points: int, bf16: bool = True):
         "forward_seconds": dt,
         "points_per_sec": num_points / dt,
         "peak_memory_mb": (mem / 2**20) if mem else None,
+        **({"is_upper_bound": True} if upper_bound else {}),
     }
 
 
