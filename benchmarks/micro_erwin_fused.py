@@ -25,23 +25,29 @@ _REPS_LO, _REPS_HI = 50, 1050
 
 def timed(make_fn, *args):
     """Differential timing: (t_hi - t_lo) / (hi - lo) cancels the tunnel
-    dispatch/fetch RTT, which is ~26 ms and otherwise swamps us-level
-    kernel costs."""
-    def measure(reps):
+    dispatch/fetch RTT (~26 ms, otherwise swamps us-level kernel costs).
+    Lo/hi windows are INTERLEAVED so both minima come from the same regime
+    of the drifting, time-shared chip."""
+    fns = {}
+    for reps in (_REPS_LO, _REPS_HI):
         fn = jax.jit(make_fn(reps))
-        out = fn(*args)
+        out = fn(*args)  # compile
         jax.tree_util.tree_map(lambda a: np.asarray(a), out)
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            s = jax.tree_util.tree_map(
-                lambda a: jnp.sum(a.astype(jnp.float32)), out)
-            float(sum(jax.tree_util.tree_leaves(s)))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        fns[reps] = fn
 
-    return (measure(_REPS_HI) - measure(_REPS_LO)) / (_REPS_HI - _REPS_LO)
+    def once(reps):
+        t0 = time.perf_counter()
+        out = fns[reps](*args)
+        s = jax.tree_util.tree_map(
+            lambda a: jnp.sum(a.astype(jnp.float32)), out)
+        float(sum(jax.tree_util.tree_leaves(s)))
+        return time.perf_counter() - t0
+
+    best = {_REPS_LO: float("inf"), _REPS_HI: float("inf")}
+    for _ in range(5):
+        for reps in (_REPS_LO, _REPS_HI):
+            best[reps] = min(best[reps], once(reps))
+    return (best[_REPS_HI] - best[_REPS_LO]) / (_REPS_HI - _REPS_LO)
 
 
 def main():
