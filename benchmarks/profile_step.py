@@ -40,7 +40,14 @@ def timed(mk, *args):
     for _ in range(5):
         for reps in (LO, HI):
             best[reps] = min(best[reps], once(reps))
-    return (best[HI] - best[LO]) / (HI - LO)
+    diff = (best[HI] - best[LO]) / (HI - LO)
+    return diff
+
+
+def fmt(t):
+    """Negative differential = the chip's throughput drifted more between
+    windows than the component costs — report as below noise."""
+    return f"{t * 1e3:8.3f} ms" if t > 0 else "  below drift noise"
 
 
 def loop(body):
@@ -88,7 +95,7 @@ def main():
         return (optax.apply_updates(p, upd), nbs, nopt)
 
     t = timed(loop(step_body), (params, bstats, opt0))
-    print(f"train step (fwd+bwd+adam): {t * 1e3:8.3f} ms", flush=True)
+    print(f"train step (fwd+bwd+adam): {fmt(t)}", flush=True)
 
     # chain fwd through an x perturbation
     def fwd_chain(v):
@@ -98,7 +105,7 @@ def main():
         return v + 1e-12 * jnp.mean(out).astype(v.dtype)
 
     t = timed(loop(fwd_chain), x)
-    print(f"model fwd only           : {t * 1e3:8.3f} ms", flush=True)
+    print(f"model fwd only           : {fmt(t)}", flush=True)
 
     # ---- physics attention alone ----------------------------------------
     pa = PhysicsAttentionIrregularMesh(
@@ -114,7 +121,7 @@ def main():
         return v + 1e-12 * jnp.mean(out).astype(v.dtype)
 
     t = timed(loop(pa_chain), fx)
-    print(f"physics attention fwd    : {t * 1e3:8.3f} ms", flush=True)
+    print(f"physics attention fwd    : {fmt(t)}", flush=True)
 
     def pa_grad_chain(v):
         g = jax.grad(lambda u: jnp.mean(pa.apply(pav, u))
@@ -122,7 +129,7 @@ def main():
         return v + 1e-12 * g.astype(v.dtype)
 
     t = timed(loop(pa_grad_chain), fx)
-    print(f"physics attention fwd+bwd: {t * 1e3:8.3f} ms", flush=True)
+    print(f"physics attention fwd+bwd: {fmt(t)}", flush=True)
 
     # ---- erwin stage alone (8 clouds x 32 states) ------------------------
     er = ErwinTransformer(
@@ -141,7 +148,7 @@ def main():
         return v + 1e-12 * jnp.mean(out).astype(v.dtype)
 
     t = timed(loop(er_chain), s)
-    print(f"erwin stage fwd          : {t * 1e3:8.3f} ms", flush=True)
+    print(f"erwin stage fwd          : {fmt(t)}", flush=True)
 
     def perm_chain(v):
         perms = build_erwin_perms(v, ball_sizes=(32, 16), strides=(2,),
@@ -149,7 +156,7 @@ def main():
         return v + 1e-12 * perms.perm[..., :1, None].astype(v.dtype)
 
     t = timed(loop(perm_chain), pos)
-    print(f"build_erwin_perms        : {t * 1e3:8.3f} ms", flush=True)
+    print(f"build_erwin_perms        : {fmt(t)}", flush=True)
 
     # ---- tokenizer einsums alone -----------------------------------------
     from haet_tpu.ops import slice_ops
@@ -168,7 +175,7 @@ def main():
         return v + 1e-12 * jnp.mean(out).astype(v.dtype)
 
     t = timed(loop(tok_chain), xp)
-    print(f"slice+eidetic+deslice fwd: {t * 1e3:8.3f} ms", flush=True)
+    print(f"slice+eidetic+deslice fwd: {fmt(t)}", flush=True)
 
 
 if __name__ == "__main__":
