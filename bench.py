@@ -43,14 +43,16 @@ BASELINE_PPS = N_POINTS * BATCH / BASELINE_SEC_PER_BATCH
 
 
 def main():
-    from haet_tpu.models import HAETransolverIrregularMesh
+    import dataclasses
+
+    from haet_tpu.utils.config import shapenet_car_config
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    model = HAETransolverIrregularMesh(
-        space_dim=7, fun_dim=0, out_dim=4,
-        n_layers=2, n_hidden=256, n_head=8, slice_num=32, mlp_ratio=2,
-        rotate=45, dtype=jnp.bfloat16 if on_tpu else None,
-    )
+    # The exact vendored car model config: 1,757,190 params
+    # (reference benchmarks/02-.../models/Transolver.py:50-64; parity
+    # asserted in tests/test_full_model_oracle.py).
+    cfg = dataclasses.replace(shapenet_car_config().model, bf16=on_tpu)
+    model = cfg.build()
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(BATCH, N_POINTS, 7).astype(np.float32))

@@ -99,8 +99,11 @@ def main(args):
         print(f"Cd scatter -> {args.out_dir}/cd_scatter.png")
 
     if args.visualize:
+        # Full reference artifact set (visualization.py:20-260): mesh +
+        # top-k overlay, per-slice dominance masks, total heatmap, 2D
+        # projections — all on the car surface points.
         from haet_tpu.utils.visualization import (
-            get_slice_weights, plot_slice_weights_cloud,
+            get_slice_weights, visualize_car_and_slices,
         )
         s = val_s[0]
         batch = make_batch(s)
@@ -108,10 +111,12 @@ def main(args):
         if jax.tree_util.tree_leaves(state.batch_stats):
             variables["batch_stats"] = state.batch_stats
         w = get_slice_weights(model, variables, batch["x"], None)
-        plot_slice_weights_cloud(
-            s.pos, w[:, :, : len(s.pos)], os.path.join(args.out_dir, "slices")
+        vis_dir = os.path.join(args.out_dir, "visualizations")
+        visualize_car_and_slices(
+            s, w, vis_dir, sample_idx=0,
+            max_slice_figs=args.max_slice_figs,
         )
-        print(f"slice visualizations -> {args.out_dir}/slices")
+        print(f"slice visualizations -> {vis_dir}")
     return metrics
 
 
@@ -130,6 +135,9 @@ if __name__ == "__main__":
     p.add_argument("--n_layers", type=int, default=2)
     p.add_argument("--slice_num", type=int, default=32)
     p.add_argument("--visualize", action="store_true")
+    p.add_argument("--max_slice_figs", type=int, default=None,
+                   help="cap per-slice dominance figures (None = all G, "
+                        "as the reference)")
     p.add_argument("--scatter", action="store_true")
     p.add_argument("--out_dir", type=str, default="./runs")
     main(p.parse_args())

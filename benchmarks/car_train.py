@@ -45,9 +45,9 @@ def bucket_size(n: int) -> int:
     return ((n + BUCKET - 1) // BUCKET) * BUCKET
 
 
-def make_batch(sample, coef=None):
+def make_batch(sample):
     n_pad = bucket_size(len(sample.pos))
-    pos, x, y, surf, mask = shapenet_car.pad_sample(sample, n_pad)
+    _, x, y, surf, mask = shapenet_car.pad_sample(sample, n_pad)
     return {
         "x": x[None], "y": y[None], "surf": surf[None].astype(np.float32),
         "mask": mask[None].astype(np.float32),

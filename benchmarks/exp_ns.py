@@ -42,9 +42,6 @@ def main(args):
     # Teacher-forced multi-step loss: one jitted step covers the whole
     # rollout (the reference's python loop re-runs the compiled graph per
     # frame; here lax unrolls it inside a single XLA program).
-    def loss_fn(out_unused, batch):
-        raise NotImplementedError  # replaced by custom step below
-
     def rollout_loss(params, batch_stats, batch, train_mode, rng):
         fx = batch["x"]
         yy = batch["y"]

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Max-points-before-OOM sweep: XLA slice path vs fused Pallas kernels.
+
+The fused Pallas slice/deslice kernels (``ops/pallas/slice_kernels.py``)
+exist to remove the ``[B, H, N, G]`` rep-slice weight tensor from HBM —
+a *memory* feature, not a speed win at HAET sizes (docs/benchmarks.md).
+This sweep measures the claim: for each path, exponentially grow then
+bisect the largest N for which a 1-layer forward (the reference's
+velocity-mem-checker config, ``velocity-mem-checker.py:82-106``) fits on
+one chip. Each probe runs in a fresh subprocess so an OOM cannot poison
+the device client for later probes.
+
+Output: one JSON line per probe, then a summary with the measured max-N
+per path and the implied auto-dispatch threshold (see
+``PhysicsAttention.use_pallas="auto"``).
+
+Usage:
+    python benchmarks/pallas_mem_sweep.py                 # full sweep
+    python benchmarks/pallas_mem_sweep.py --probe N --pallas 1   # one probe
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_probe(num_points: int, use_pallas: bool, bf16: bool = True):
+    """One forward at N points; prints a JSON line; exits 0 on success."""
+    from haet_tpu.utils.env import apply_platform_override
+
+    apply_platform_override()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from haet_tpu.models import HAETransolverIrregularMesh
+
+    model = HAETransolverIrregularMesh(
+        space_dim=3, fun_dim=1, out_dim=1, n_layers=1, n_hidden=256,
+        n_head=8, slice_num=32, mlp_ratio=2, rotate=45,
+        use_pallas=use_pallas,
+        dtype=jnp.bfloat16 if bf16 else None,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, num_points, 3).astype(np.float32))
+    fx = jnp.asarray(rng.rand(1, num_points, 1).astype(np.float32))
+    t0 = time.perf_counter()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    out = jax.jit(lambda v, x, fx: model.apply(v, x, fx))(variables, x, fx)
+    ok = bool(jnp.isfinite(jnp.sum(out.astype(jnp.float32))))
+    dt = time.perf_counter() - t0
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+    peak = (stats or {}).get("peak_bytes_in_use")
+    rec = {
+        "num_points": num_points,
+        "pallas": use_pallas,
+        "ok": ok,
+        "first_call_seconds": round(dt, 2),
+        "peak_memory_mb": round(peak / 2**20, 1) if peak else None,
+    }
+    print(json.dumps(rec), flush=True)
+    return 0 if ok else 1
+
+
+def probe_subprocess(num_points: int, use_pallas: bool) -> dict:
+    """Fresh-process probe; returns the parsed JSON record or an OOM mark."""
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--probe", str(num_points), "--pallas", str(int(use_pallas))]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=1800)
+    except subprocess.TimeoutExpired:
+        return {"num_points": num_points, "pallas": use_pallas, "ok": False,
+                "timeout": True}
+    for line in proc.stdout.splitlines():
+        try:
+            rec = json.loads(line)
+            if "num_points" in rec:
+                return rec
+        except json.JSONDecodeError:
+            continue
+    err = (proc.stderr or "")[-400:]
+    oom = "RESOURCE_EXHAUSTED" in err or "out of memory" in err.lower()
+    return {"num_points": num_points, "pallas": use_pallas, "ok": False,
+            "oom": oom, "error_tail": err.splitlines()[-1] if err else "rc=%d" % proc.returncode}
+
+
+def find_max_n(use_pallas: bool, start: int, limit: int, log):
+    """Double until failure, then bisect to ~10% resolution."""
+    n = start
+    last_ok, first_bad = None, None
+    while n <= limit:
+        rec = probe_subprocess(n, use_pallas)
+        log(rec)
+        if rec.get("ok"):
+            last_ok = n
+            n *= 2
+        else:
+            first_bad = n
+            break
+    if first_bad is None:
+        return last_ok, False  # hit the sweep limit without OOM
+    if last_ok is None:
+        return 0, True
+    lo, hi = last_ok, first_bad
+    while hi - lo > max(lo // 5, 1 << 16):
+        mid = (lo + hi) // 2
+        rec = probe_subprocess(mid, use_pallas)
+        log(rec)
+        if rec.get("ok"):
+            lo = mid
+        else:
+            hi = mid
+    return lo, True
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--probe", type=int, default=None)
+    p.add_argument("--pallas", type=int, default=0)
+    p.add_argument("--start", type=int, default=1_000_000)
+    p.add_argument("--limit", type=int, default=128_000_000)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args()
+
+    if args.probe is not None:
+        sys.exit(run_probe(args.probe, bool(args.pallas)))
+
+    records = []
+
+    def log(rec):
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    max_xla, xla_oomed = find_max_n(False, args.start, args.limit, log)
+    max_pallas, pallas_oomed = find_max_n(True, args.start, args.limit, log)
+    summary = {
+        "summary": True,
+        "max_points_xla": max_xla,
+        "max_points_pallas": max_pallas,
+        "xla_hit_oom": xla_oomed,
+        "pallas_hit_oom": pallas_oomed,
+        "pallas_headroom_x": round(max_pallas / max_xla, 2) if max_xla else None,
+        # auto-dispatch rule: switch to the fused path once N is beyond
+        # what the XLA path can hold (with a 25% safety margin)
+        "auto_threshold": int(max_xla * 0.75) if max_xla else None,
+    }
+    print(json.dumps(summary), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            for rec in records + [summary]:
+                f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

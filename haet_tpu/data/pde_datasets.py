@@ -45,6 +45,12 @@ def load_darcy(data_path: str, ntrain: int = 1000, ntest: int = 200,
         r = downsample
         tr = _loadmat(train_file)
         te = _loadmat(test_file)
+        # Grid side derived from the data (421 for the real FNO files; the
+        # committed tests/fixtures use the same format at a smaller size).
+        full = tr["coeff"].shape[1]
+        s = int((full - 1) / r) + 1
+        ntrain = min(ntrain, tr["coeff"].shape[0])
+        ntest = min(ntest, te["coeff"].shape[0])
         x_train = tr["coeff"][:ntrain, ::r, ::r][:, :s, :s].reshape(ntrain, -1)
         y_train = tr["sol"][:ntrain, ::r, ::r][:, :s, :s].reshape(ntrain, -1)
         x_test = te["coeff"][:ntest, ::r, ::r][:, :s, :s].reshape(ntest, -1)
@@ -81,6 +87,9 @@ def load_ns(data_path: str, ntrain: int = 1000, ntest: int = 200,
     if os.path.exists(f):
         d = _loadmat(f)
         u = d["u"].astype(np.float32)  # [N, s, s, T]
+        s = u.shape[1]  # 64 for the real FNO file; smaller in fixtures
+        ntrain = min(ntrain, u.shape[0])
+        ntest = min(ntest, u.shape[0])
         train = u[:ntrain]
         test = u[-ntest:]
         g = np.linspace(0, 1, s, dtype=np.float32)
@@ -178,6 +187,9 @@ def load_plasticity(data_path: str, ntrain: int = 900, ntest: int = 80):
         inp = d["input"].astype(np.float32)       # [N, h, w]
         out = d["output"].astype(np.float32)      # [N, h, w, t, 4]
         n = inp.shape[0]
+        h, w, t = out.shape[1], out.shape[2], out.shape[3]
+        ntrain = min(ntrain, n)
+        ntest = min(ntest, n)
         g1 = np.linspace(0, 1, h, dtype=np.float32)
         g2 = np.linspace(0, 1, w, dtype=np.float32)
         gx, gy = np.meshgrid(g1, g2, indexing="ij")

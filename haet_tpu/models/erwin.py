@@ -369,16 +369,13 @@ class MPNN(nn.Module):
         if nbr_idx is None:
             raise ValueError("MPNN requires neighbor indices (mp_steps > 0)")
         B, N, K = nbr_idx.shape
-        gather = lambda a: jnp.take_along_axis(  # noqa: E731
-            a[:, :, None].repeat(K, axis=2),  # placeholder; replaced below
-            nbr_idx[..., None], axis=1)
-        # Efficient neighbor gather: [B, N, K, C]
+
+        # Neighbor gather: [B, N, C] -> [B, N, K, C]
         def nbr_gather(a):
             flat = jnp.take_along_axis(
                 a, nbr_idx.reshape(B, N * K)[..., None], axis=1
             )
             return flat.reshape(B, N, K, a.shape[-1])
-        del gather
 
         edge_attr = jax.lax.stop_gradient(nbr_gather(pos) - pos[:, :, None])
         w = nbr_valid[..., None].astype(h.dtype)

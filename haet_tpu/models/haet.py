@@ -41,7 +41,7 @@ _ERWIN_KEYS = (
     "c_hidden", "ball_sizes", "enc_num_heads", "enc_depths", "dec_num_heads",
     "dec_depths", "strides", "rotate", "decode", "mp_steps", "embed",
     "use_dist_bias", "grouping", "orthogonal_slice_init", "use_pallas",
-    "use_pallas_erwin",
+    "pallas_auto_threshold", "use_pallas_erwin",
 )
 
 
@@ -74,16 +74,22 @@ class TransolverErwinBlock(nn.Module):
             epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
             name=name,
         )
+        # attn_kwargs may override dim_head (reference ErwinTransolver
+        # exposes it, vendored ``Transolver.py:22``) and mlp_ratio (the
+        # vendored car model pins the *Erwin* mlp_ratio to 4 while the block
+        # uses 2, ``Transolver.py:62`` vs ``:208``); the defaults reproduce
+        # the main library's shared values (``..._2D.py:90,105``).
+        akw = dict(self.attn_kwargs or {})
+        akw.setdefault("dim_head", self.hidden_dim // self.num_heads)
+        akw.setdefault("mlp_ratio", self.mlp_ratio)
         attn = self.attn_cls(
             dim=self.hidden_dim,
             heads=self.num_heads,
-            dim_head=self.hidden_dim // self.num_heads,
             dropout=self.dropout,
-            mlp_ratio=self.mlp_ratio,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="Attn",
-            **(self.attn_kwargs or {}),
+            **akw,
         )
         fx = attn(ln("ln_1")(fx), train=train) + fx
         fx = MLP(
@@ -128,13 +134,24 @@ class _HAETBase(nn.Module):
     decode: bool = True
     mp_steps: int = 0
     embed: bool = False
+    # None -> hidden // heads (reference ``..._2D.py:90``); the vendored car
+    # model exposes dim_head on its attention (``Transolver.py:22``).
+    dim_head: Optional[int] = None
+    # None -> share the block's mlp_ratio (main library behavior,
+    # ``..._2D.py:105``); the vendored car model pins Erwin's to 4
+    # independently of the block's 2 (``Transolver.py:62``).
+    erwin_mlp_ratio: Optional[int] = None
     # TPU-build knobs
     use_checkpoint: bool = False
     use_dist_bias: bool = True
     grouping: str = "median"
     orthogonal_slice_init: bool = True
-    use_pallas: bool = False
+    use_pallas: bool | str = False  # False | True | "auto" (N-threshold)
+    pallas_auto_threshold: int = 2_000_000
     use_pallas_erwin: bool = False
+    # Head tensor parallelism: (batch_axis, head_axis) mesh axis names,
+    # e.g. ("dp", "tp"). See PhysicsAttention.shard_axes.
+    shard_axes: Optional[tuple] = None
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -198,6 +215,12 @@ class _HAETBase(nn.Module):
             fx = fx + emb
 
         attn_cls, attn_kwargs = self._attn()
+        if self.dim_head is not None:
+            attn_kwargs["dim_head"] = self.dim_head
+        if self.erwin_mlp_ratio is not None:
+            attn_kwargs["mlp_ratio"] = self.erwin_mlp_ratio
+        if self.shard_axes is not None:
+            attn_kwargs["shard_axes"] = tuple(self.shard_axes)
         block_cls = TransolverErwinBlock
         if self.use_checkpoint:
             # Rematerialize each block's activations in the backward pass

@@ -29,11 +29,12 @@ Aliases with the reference's exact class names are exported from
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import PartitionSpec
 
 from ..ops import slice_ops
 from ..ops.ball_groups import pad_pow2
@@ -75,8 +76,25 @@ class _PhysicsAttentionBase(nn.Module):
     use_dist_bias: bool = True
     grouping: str = "median"
     orthogonal_slice_init: bool = True
-    use_pallas: bool = False  # fused slice/deslice kernels (TPU only)
+    # Fused slice/deslice kernels (TPU only). False | True | "auto":
+    # "auto" switches to the fused path when N >= pallas_auto_threshold on
+    # a TPU backend — the kernels are a *memory* feature (they avoid
+    # materializing the [B, H, N, G] weights in HBM) and are slower at
+    # small N (docs/benchmarks.md); the threshold comes from the measured
+    # max-N-before-OOM crossover (benchmarks/pallas_mem_sweep.py).
+    use_pallas: bool | str = False
+    pallas_auto_threshold: int = 2_000_000
     use_pallas_erwin: bool = False  # fused Erwin-block kernel (TPU only)
+    # Tensor parallelism over attention heads: mesh axis names
+    # ``(batch_axis, head_axis)``. When set, the ``[B, H, N, *]``
+    # intermediates are constrained to ``P(batch, head)`` and the Erwin
+    # ``[B*H, G, C]`` token batch to ``P((batch, head))`` — heads are
+    # embarrassingly parallel through the whole slice->Erwin->deslice core
+    # (the reference encodes this via ``batch_idx = arange(B*H)``,
+    # ``StructuredMesh2D.py:238``); the only cross-head op is the final
+    # head-concat projection, where XLA inserts the all-gather.
+    # Requires tracing under an active ``jax.sharding.Mesh`` context.
+    shard_axes: Optional[Tuple[Optional[str], Optional[str]]] = None
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -103,14 +121,45 @@ class _PhysicsAttentionBase(nn.Module):
             strides=tuple(self.strides) if self.strides else (2,),
         )
 
+    def _constrain(self, t, *spec):
+        """Apply a head-TP sharding constraint if ``shard_axes`` is set.
+
+        ``spec`` entries index into ``shard_axes``: "b" -> batch axis,
+        "h" -> head axis, "bh" -> both (a flattened B*H dim), None -> leave
+        the dimension replicated/unconstrained.
+        """
+        if self.shard_axes is None:
+            return t
+        b_ax, h_ax = self.shard_axes
+        lut = {
+            "b": b_ax,
+            "h": h_ax,
+            "bh": tuple(a for a in (b_ax, h_ax) if a) or None,
+            None: None,
+        }
+        return jax.lax.with_sharding_constraint(
+            t, PartitionSpec(*(lut[s] for s in spec))
+        )
+
+    def _pallas_enabled(self, n_points: int) -> bool:
+        """Resolve the use_pallas tri-state at trace time (N is static)."""
+        if self.use_pallas == "auto":
+            return (
+                n_points >= self.pallas_auto_threshold
+                and jax.default_backend() == "tpu"
+            )
+        return bool(self.use_pallas)
+
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         """x: [B, N, dim] -> [B, N, dim]."""
         B, N, _ = x.shape
         G, H, Dh = self.slice_num, self.heads, self.dim_head
+        use_pallas = self._pallas_enabled(N)
 
         ### (1) Slice (StructuredMesh2D.py:180-213)
         x_proj = self._project(x)  # [B, H, N, Dh]
+        x_proj = self._constrain(x_proj, "b", "h")
 
         slice_init = (
             nn.initializers.orthogonal()
@@ -127,7 +176,7 @@ class _PhysicsAttentionBase(nn.Module):
                            (1,), self.param_dtype)
 
         w = None
-        if self.use_pallas:
+        if use_pallas:
             from ..ops.pallas import slice_kernels as sk
             states, m_res, s_res = sk.slice_states(
                 x_proj.astype(jnp.float32), w_slice, b_slice, w_ada, b_ada,
@@ -140,7 +189,7 @@ class _PhysicsAttentionBase(nn.Module):
             w = slice_ops.rep_slice_weights(logits, tau, self.epsilon)
             # softmax runs in f32 (param promotion); store the [B,H,N,G]
             # weights in the compute dtype — the largest activation
-            w = w.astype(x_proj.dtype)
+            w = self._constrain(w.astype(x_proj.dtype), "b", "h")
             states = slice_ops.eidetic_states(x_proj, w)  # [B, H, G, Dh]
             # Expose slice weights for visualization (the reference stores
             # them on the module, Transolver.py:104,154-156; here they're
@@ -158,7 +207,7 @@ class _PhysicsAttentionBase(nn.Module):
         pos = (feat - fmin) / (fmax - fmin + 1e-8)
         pos = pos.reshape(B * H, G, d)
 
-        s_in = states.reshape(B * H, G, Dh)
+        s_in = self._constrain(states.reshape(B * H, G, Dh), "bh")
         mask = None
         if G & (G - 1):  # pad non-power-of-two slice counts
             s_in, pos, mask = pad_pow2(s_in, pos)
@@ -184,10 +233,12 @@ class _PhysicsAttentionBase(nn.Module):
             # Mask-aware unpermute sorts valid slots (originals 0..G-1)
             # first, so dropping the pad tail restores the G slice states.
             out_states = out_states[:, :G]
-        out_states = out_states.reshape(B, H, G, Dh)
+        out_states = self._constrain(
+            out_states.reshape(B, H, G, Dh), "b", "h"
+        )
 
         ### (3) Deslice (StructuredMesh2D.py:248-262)
-        if self.use_pallas:
+        if use_pallas:
             from ..ops.pallas import slice_kernels as sk
             out = sk.deslice(
                 x_proj.astype(jnp.float32), w_slice, b_slice, w_ada, b_ada,

@@ -1,26 +1,41 @@
 """Checkpointing with true mid-training resume (orbax).
 
 The reference saves ``{epoch, model/optimizer/scheduler state, losses}`` at
-best-val and final epoch (``train.py:250-259,297-306``) but can only load for
-eval; here the full :class:`TrainState` (params, batch_stats, optimizer
-state, step) round-trips, so training resumes exactly.
+best-val and final epoch (``train.py:250-259,297-306``) and the PDE drivers
+additionally save a bare state_dict every 100 epochs
+(``exp_darcy.py:259-263``) — but can only load for eval. Here the full
+:class:`TrainState` (params, batch_stats, optimizer state, step) round-trips,
+so training resumes exactly, with a best / last / periodic policy and
+``keep``-bounded pruning of the periodic snapshots.
 """
 
 from __future__ import annotations
 
 import os
+import re
+import shutil
 from typing import Any
 
 import orbax.checkpoint as ocp
 
+_EPOCH_RE = re.compile(r"^epoch_(\d+)$")
+
 
 class Checkpointer:
-    """best / last / periodic checkpoint policy (reference train.py)."""
+    """best / last / periodic checkpoint policy (reference train.py).
+
+    Args:
+        directory: checkpoint root. Names used: ``best``, ``last``,
+            ``epoch_{N}`` (periodic).
+        keep: how many periodic ``epoch_*`` checkpoints to retain (oldest
+            pruned first); ``best``/``last`` are always kept.
+    """
 
     def __init__(self, directory: str, keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
+        self.keep = keep
         self.best_val = float("inf")
 
     def _save(self, name: str, state: Any):
@@ -35,7 +50,36 @@ class Checkpointer:
     def save_last(self, state, epoch: int):
         self._save("last", state)
 
+    def save_periodic(self, state, epoch: int):
+        """Save ``epoch_{N}`` and prune to the ``keep`` most recent
+        (reference periodic policy, ``exp_darcy.py:259-263``)."""
+        self._save(f"epoch_{epoch}", state)
+        self._ckpt.wait_until_finished()  # prune only fully-written dirs
+        epochs = self.periodic_epochs()
+        n_prune = max(0, len(epochs) - self.keep) if self.keep > 0 else 0
+        for old in epochs[:n_prune]:
+            shutil.rmtree(
+                os.path.join(self.directory, f"epoch_{old}"),
+                ignore_errors=True,
+            )
+
+    def periodic_epochs(self) -> list[int]:
+        """Sorted epoch numbers of the periodic checkpoints on disk."""
+        out = []
+        for name in os.listdir(self.directory):
+            m = _EPOCH_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
     def restore(self, state_template: Any, name: str = "last"):
+        """Restore by name: ``best`` / ``last`` / ``epoch_{N}`` /
+        ``latest_periodic``. Returns None if absent."""
+        if name == "latest_periodic":
+            epochs = self.periodic_epochs()
+            if not epochs:
+                return None
+            name = f"epoch_{epochs[-1]}"
         path = os.path.join(self.directory, name)
         if not os.path.exists(path):
             return None

@@ -42,20 +42,24 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_optimizer(cfg: TrainConfig, total_steps: int):
-    """AdamW/Adam + OneCycle (reference ``exp_darcy.py:132-139``)."""
+def make_schedule(cfg: TrainConfig, total_steps: int):
+    """The learning-rate schedule as a ``step -> lr`` callable."""
     if cfg.schedule == "onecycle":
-        sched = optax.cosine_onecycle_schedule(
+        return optax.cosine_onecycle_schedule(
             transition_steps=total_steps,
             peak_value=cfg.lr,
             pct_start=cfg.pct_start,
             div_factor=25.0,
             final_div_factor=1e4,
         )
-    elif cfg.schedule == "constant":
-        sched = cfg.lr
-    else:
-        raise ValueError(f"unknown schedule {cfg.schedule!r}")
+    if cfg.schedule == "constant":
+        return lambda step: cfg.lr
+    raise ValueError(f"unknown schedule {cfg.schedule!r}")
+
+
+def make_optimizer(cfg: TrainConfig, total_steps: int):
+    """AdamW/Adam + OneCycle (reference ``exp_darcy.py:132-139``)."""
+    sched = make_schedule(cfg, total_steps)
 
     if cfg.optimizer == "adamw":
         tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
@@ -152,9 +156,13 @@ class Trainer:
     batch_args: Callable = field(default=lambda b: (b["x"], b["fx"]))
     mesh: Any = None
     eval_fn: Optional[Callable] = None  # (apply_out, batch) -> metric dict
+    # log per-batch metrics every K batches (reference logs every 10,
+    # train.py:109-125); 0 disables per-batch logging.
+    batch_log_every: int = 0
 
     def __post_init__(self):
         self.tx = make_optimizer(self.cfg, self.total_steps)
+        self.sched = make_schedule(self.cfg, self.total_steps)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval)
         self._train_scan = jax.jit(self._scan_steps, donate_argnums=(0,))
@@ -162,7 +170,11 @@ class Trainer:
     # -- state ------------------------------------------------------------
     def init_state(self, rng, sample_batch) -> TrainState:
         args = self.batch_args(sample_batch)
-        variables = jax.jit(self.model.init)(rng, *args)
+        if self.mesh is not None:
+            with self.mesh:
+                variables = jax.jit(self.model.init)(rng, *args)
+        else:
+            variables = jax.jit(self.model.init)(rng, *args)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         state = TrainState(
@@ -228,7 +240,10 @@ class Trainer:
             step=state.step + 1, params=params,
             batch_stats=new_bs, opt_state=opt_state,
         )
-        metrics = {"loss": l, **aux}
+        # grad_norm: the whole-step observability analogue of the
+        # reference's wandb.watch gradient histograms (train.py:208) —
+        # cheap inside the fused step (one extra reduction).
+        metrics = {"loss": l, "grad_norm": optax.global_norm(grads), **aux}
         return new_state, metrics
 
     def _eval(self, state: TrainState, batch):
@@ -242,12 +257,19 @@ class Trainer:
         if self.mesh is not None:
             from ..parallel.mesh import shard_batch
             batch = shard_batch(batch, self.mesh)
+            # Trace/compile under the mesh context so PartitionSpec-based
+            # sharding constraints inside the model (head tensor
+            # parallelism, models/physics_attention.py) resolve.
+            with self.mesh:
+                return self._train_step(state, batch, rng)
         return self._train_step(state, batch, rng)
 
     def eval_step(self, state, batch):
         if self.mesh is not None:
             from ..parallel.mesh import shard_batch
             batch = shard_batch(batch, self.mesh)
+            with self.mesh:
+                return self._eval_step(state, batch)
         return self._eval_step(state, batch)
 
     def _scan_steps(self, state, batches, rng):
@@ -310,13 +332,31 @@ class Trainer:
         start_epoch = int(state.step) // max(
             1, self.total_steps // max(epochs, 1)
         )
+        from ..utils.profiling import StepTimer, device_memory_mb, host_rss_mb
+
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
+            timer = StepTimer()
             train_metrics = []
-            for batch in train_batches():
+            for i, batch in enumerate(train_batches()):
                 rng, step_rng = jax.random.split(rng)
-                state, m = self.train_step(state, batch, step_rng)
+                with timer.step():
+                    state, m = self.train_step(state, batch, step_rng)
                 train_metrics.append(m)
+                if self.batch_log_every and i % self.batch_log_every == 0:
+                    # Per-batch observability with the reference's metric
+                    # names (train.py:115-125). forward/backward are fused
+                    # into ONE device program here, so batch_time is the
+                    # whole step; there is no separate fwd/bwd wall split.
+                    step_no = int(state.step)
+                    logger.log({
+                        "batch/total_loss": float(m["loss"]),
+                        "batch/learning_rate": float(self.sched(step_no)),
+                        "batch/memory_used_mb": host_rss_mb(),
+                        "batch/batch_time": timer.times[-1],
+                        "batch/eta_seconds":
+                            timer.times[-1] * max(0, self.total_steps - step_no),
+                    })
             if not train_metrics and epoch == start_epoch:
                 print("[Trainer] WARNING: train_batches yielded no batches "
                       "(batch size larger than the dataset?)")
@@ -324,6 +364,12 @@ class Trainer:
                 f"train/{k}": float(np.mean([float(m[k]) for m in train_metrics]))
                 for k in (train_metrics[0] if train_metrics else {})
             }
+            tm.update(timer.metrics("train/"))
+            tm["train/learning_rate"] = float(self.sched(int(state.step)))
+            tm["train/memory_used_mb"] = host_rss_mb()
+            dev_mb = device_memory_mb()
+            if dev_mb is not None:
+                tm["train/device_memory_mb"] = dev_mb
             rec = {"epoch": epoch, **tm,
                    "epoch/time_seconds": time.time() - t0}
 
@@ -344,6 +390,13 @@ class Trainer:
             logger.log(rec)
             if checkpointer is not None:
                 checkpointer.save_last(state, epoch)
+                if (
+                    self.cfg.checkpoint_every
+                    and (epoch + 1) % self.cfg.checkpoint_every == 0
+                ):
+                    # Periodic policy (reference PDE drivers save every 100
+                    # epochs, exp_darcy.py:259-263); pruned to `keep`.
+                    checkpointer.save_periodic(state, epoch)
         if checkpointer is not None:
             checkpointer.wait()
         return state

@@ -78,6 +78,131 @@ def plot_prediction_triptych(pred, gt, h, w, out_dir, case_id,
                     clim=err_clim)
 
 
+def _set_axes_equal(ax):
+    """Equal scaling on all 3D axes (reference visualization.py:64-86)."""
+    limits = [ax.get_xlim3d(), ax.get_ylim3d(), ax.get_zlim3d()]
+    ranges = [abs(hi - lo) for lo, hi in limits]
+    centers = [(hi + lo) / 2 for lo, hi in limits]
+    r = max(ranges) / 2
+    ax.set_xlim3d([centers[0] - r, centers[0] + r])
+    ax.set_ylim3d([centers[1] - r, centers[1] + r])
+    ax.set_zlim3d([centers[2] - r, centers[2] + r])
+
+
+def visualize_car_and_slices(sample, slice_weights, out_dir,
+                             sample_idx: int = 0, top_k: int = 5,
+                             max_slice_figs: int | None = None,
+                             dpi: int = 120):
+    """The reference's full car slice-render artifact set
+    (``visualization.py:20-260``): on the car's *surface* points,
+
+    1. ``car_slices_{i}.png`` — full mesh (top) + top-k slice weight
+       overlays (bottom);
+    2. ``slice_{g}_sample_{i}.png`` — per-slice dominance masks (1 where
+       that slice has the max weight at the point);
+    3. ``slice_heatmap_{i}.png`` — total weight across all slices;
+    4. ``projection_{xy,xz,yz}_{i}.png`` — 2D plane projections colored by
+       total weight.
+
+    Args:
+        sample: a :class:`haet_tpu.data.shapenet_car.CarSample` (uses
+            ``pos``/``surf``).
+        slice_weights: ``[B, heads, N, G]`` from :func:`get_slice_weights`
+            (N may exceed len(sample.pos) due to padding — extra rows are
+            ignored).
+        top_k: how many top slices in the overlay figure.
+        max_slice_figs: cap on per-slice dominance figures (None = all G,
+            like the reference).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import cm
+
+    os.makedirs(out_dir, exist_ok=True)
+    w = np.asarray(slice_weights)
+    if w.ndim == 4:
+        w = w[0].sum(axis=0)  # heads summed -> [N, G] (reference :109)
+    n = len(sample.pos)
+    w = w[:n]
+    surf = np.asarray(sample.surf, bool)
+    pos = np.asarray(sample.pos)[surf]
+    pos = pos[:, [0, 2, 1]]  # swap Y/Z for the standard view (:60)
+    sw = w[surf] * 1000.0    # reference's visibility scaling (:104)
+
+    def new3d(fig, sub):
+        ax = fig.add_subplot(sub, projection="3d")
+        ax.view_init(elev=20, azim=300)
+        ax.grid(False)
+        return ax
+
+    # 1. full mesh + top-k overlay
+    importance = sw.sum(axis=0)
+    top = np.argsort(importance)[::-1][:top_k]
+    fig = plt.figure(figsize=(12, 10))
+    ax1 = new3d(fig, 211)
+    ax1.scatter(pos[:, 0], pos[:, 1], pos[:, 2], s=5, c="gray", alpha=0.8)
+    ax1.set_title(f"Full Car Mesh - Sample {sample_idx}")
+    _set_axes_equal(ax1)
+    ax2 = new3d(fig, 212)
+    cmaps = [cm.viridis, cm.plasma, cm.inferno, cm.magma, cm.cividis]
+    for i, g in enumerate(top):
+        sc = ax2.scatter(pos[:, 0], pos[:, 1], pos[:, 2], s=10,
+                         c=sw[:, g], cmap=cmaps[i % len(cmaps)],
+                         alpha=0.7, label=f"Slice {g}")
+        fig.colorbar(sc, ax=ax2, shrink=0.7, pad=0.1)
+    ax2.set_title("Top Slice Weights")
+    _set_axes_equal(ax2)
+    ax2.legend()
+    fig.savefig(os.path.join(out_dir, f"car_slices_{sample_idx}.png"),
+                dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+
+    # 2. per-slice dominance masks
+    G = sw.shape[1]
+    max_per_point = sw.max(axis=1)
+    n_figs = G if max_slice_figs is None else min(G, max_slice_figs)
+    for g in range(n_figs):
+        mask = (sw[:, g] >= max_per_point).astype(float)
+        fig = plt.figure(figsize=(10, 8))
+        ax = new3d(fig, 111)
+        sc = ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], s=10, c=mask,
+                        cmap=cm.viridis, alpha=0.7)
+        fig.colorbar(sc, ax=ax, shrink=0.7)
+        ax.set_title(f"Slice {g} Weights - Sample {sample_idx}")
+        _set_axes_equal(ax)
+        fig.savefig(
+            os.path.join(out_dir, f"slice_{g}_sample_{sample_idx}.png"),
+            dpi=dpi, bbox_inches="tight")
+        plt.close(fig)
+
+    # 3. total-weight heatmap
+    total = sw.sum(axis=1)
+    fig = plt.figure(figsize=(10, 8))
+    ax = new3d(fig, 111)
+    sc = ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], c=total,
+                    cmap=cm.viridis, s=5, alpha=0.7)
+    fig.colorbar(sc, ax=ax, shrink=0.7)
+    ax.set_title(f"Combined Slice Weights - Sample {sample_idx}")
+    _set_axes_equal(ax)
+    fig.savefig(os.path.join(out_dir, f"slice_heatmap_{sample_idx}.png"),
+                dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+
+    # 4. 2D projections
+    for name, (a, b) in (("xy", (0, 1)), ("xz", (0, 2)), ("yz", (1, 2))):
+        fig, ax = plt.subplots(figsize=(8, 6))
+        sc = ax.scatter(pos[:, a], pos[:, b], c=total, cmap=cm.viridis,
+                        s=4, alpha=0.8)
+        fig.colorbar(sc, ax=ax)
+        ax.set_title(f"{name.upper()} projection - Sample {sample_idx}")
+        ax.set_aspect("equal")
+        fig.savefig(
+            os.path.join(out_dir, f"projection_{name}_{sample_idx}.png"),
+            dpi=dpi, bbox_inches="tight")
+        plt.close(fig)
+
+
 def plot_slice_weights_cloud(pos, slice_weights, out_dir, head: int = 0,
                              top_k: int = 6, batch: int = 0):
     """Scatter the top-k slices' weight heatmaps over a point cloud

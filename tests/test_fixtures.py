@@ -1,0 +1,174 @@
+"""Loaders parse *real bytes*: committed miniature files in the exact
+upstream container formats (see tests/fixtures/make_fixtures.py), not the
+synthetic fallbacks. Expected values re-derived from the generator's seeded
+array builders and compared against what the parsers produce.
+
+Reference formats: exp_darcy.py:77-91 (.mat v5), exp_ns.py (.mat v7.3 /
+HDF5), exp_airfoil.py:80-96 / exp_pipe.py:80-95 / exp_elas.py:73-85 (.npy),
+dataset.py:161-225 (legacy VTK, ASCII + big-endian binary).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+from haet_tpu.data import pde_datasets, shapenet_car
+from haet_tpu.data.vtk_io import read_vtk_legacy
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA = os.path.join(HERE, "fixtures", "data")
+sys.path.insert(0, os.path.join(HERE, "fixtures"))
+
+import make_fixtures as mf  # noqa: E402
+
+
+def test_darcy_mat_fixture():
+    d = pde_datasets.load_darcy(
+        os.path.join(DATA, "darcy"), ntrain=3, ntest=3, downsample=5)
+    assert not d["synthetic"]
+    s = d["s"]
+    assert s == 9  # (41-1)/5 + 1
+    coeff, sol = mf.darcy_arrays(1)
+    np.testing.assert_allclose(
+        d["train"]["x"][0].reshape(s, s),
+        coeff[0, ::5, ::5][:s, :s], rtol=1e-6)
+    np.testing.assert_allclose(
+        d["train"]["y"][2].reshape(s, s),
+        sol[2, ::5, ::5][:s, :s], rtol=1e-6)
+    assert d["train"]["pos"].shape == (3, s * s, 2)
+
+
+def test_ns_mat73_fixture():
+    """Exercises the v7.3 (HDF5 + MATLAB userblock) branch of _loadmat:
+    scipy must refuse the container and h5py must undo the column-major
+    (transposed) storage."""
+    import scipy.io as scio
+    import pytest
+
+    path = os.path.join(DATA, "ns", "NavierStokes_V1e-5_N1200_T20.mat")
+    with pytest.raises(NotImplementedError):
+        scio.loadmat(path)  # real v7.3 behavior
+
+    d = pde_datasets.load_ns(os.path.join(DATA, "ns"),
+                             ntrain=3, ntest=2, t_in=10, t_out=2)
+    assert not d["synthetic"]
+    u = mf.ns_arrays()
+    s = u.shape[1]
+    assert d["s"] == s
+    np.testing.assert_allclose(
+        d["train"]["x"][1], u[1, :, :, :10].reshape(s * s, 10), rtol=1e-6)
+    np.testing.assert_allclose(
+        d["test"]["y"][-1], u[-1, :, :, 10:12].reshape(s * s, 2), rtol=1e-6)
+
+
+def test_airfoil_npy_fixture():
+    d = pde_datasets.load_structured_mesh(
+        os.path.join(DATA, "airfoil"), "NACA_Cylinder",
+        ntrain=3, ntest=1, h=17, w=9)
+    assert not d["synthetic"]
+    X, Y, Q = mf.airfoil_arrays()
+    np.testing.assert_allclose(
+        d["train"]["pos"][0, :, 0], X[0].reshape(-1), rtol=1e-6)
+    # 4-dim Q: last channel is the field
+    np.testing.assert_allclose(
+        d["train"]["y"][1], Q[1, -1].reshape(-1), rtol=1e-6)
+
+
+def test_pipe_npy_fixture():
+    d = pde_datasets.load_structured_mesh(
+        os.path.join(DATA, "pipe"), "Pipe", ntrain=3, ntest=1, h=13, w=13)
+    assert not d["synthetic"]
+    X, Y, Q = mf.pipe_arrays()
+    np.testing.assert_allclose(
+        d["test"]["y"][-1], Q[-1].reshape(-1), rtol=1e-6)
+
+
+def test_elasticity_npy_fixture():
+    d = pde_datasets.load_elasticity(
+        os.path.join(DATA, "elasticity"), ntrain=4, ntest=2)
+    assert not d["synthetic"]
+    xy, sigma = mf.elasticity_arrays()
+    np.testing.assert_allclose(d["train"]["pos"][0], xy[:, :, 0], rtol=1e-6)
+    np.testing.assert_allclose(d["test"]["y"][-1], sigma[:, -1], rtol=1e-6)
+
+
+def test_plasticity_mat_fixture():
+    d = pde_datasets.load_plasticity(
+        os.path.join(DATA, "plasticity"), ntrain=2, ntest=1)
+    assert not d["synthetic"]
+    inp, out = mf.plasticity_arrays()
+    h, w, t = out.shape[1], out.shape[2], out.shape[3]
+    assert (d["h"], d["w"], d["t"]) == (h, w, t)
+    np.testing.assert_allclose(
+        d["train"]["fx"][0], inp[0].reshape(h * w, 1), rtol=1e-6)
+    np.testing.assert_allclose(
+        d["train"]["y"][1], out[1].reshape(h * w, t, 4), rtol=1e-6)
+
+
+def test_car_vtk_fixture_raw_parse():
+    """read_vtk_legacy on both container flavors: ASCII quad grid with
+    SCALARS, and big-endian BINARY with VECTORS."""
+    sample_dir = os.path.join(DATA, "car", "param0", "fixturecar000")
+    surf_pts, quads, press, velo_pts, velo = mf.car_arrays()
+
+    g = read_vtk_legacy(os.path.join(sample_dir, "quadpress_smpl.vtk"))
+    np.testing.assert_allclose(g.points, surf_pts, atol=1e-5)
+    np.testing.assert_array_equal(g.quads, quads)
+    np.testing.assert_allclose(
+        g.point_data["press"].reshape(-1), press, atol=1e-5)
+
+    v = read_vtk_legacy(os.path.join(sample_dir, "hexvelo_smpl.vtk"))
+    np.testing.assert_allclose(v.points, velo_pts, atol=1e-5)
+    np.testing.assert_allclose(v.point_data["velocity"], velo, atol=1e-5)
+
+
+def test_car_pipeline_on_vtk_fixture():
+    """The full sample assembly (dataset.py:161-225 semantics) from the
+    committed VTK pair: exterior/surface split, SDF, normals, targets."""
+    sample_dir = os.path.join(DATA, "car", "param0", "fixturecar000")
+    surf_pts, quads, press, velo_pts, velo = mf.car_arrays()
+    s = shapenet_car.load_sample(sample_dir, "fixturecar000")
+
+    n_surf, n_ext = len(surf_pts), len(velo_pts) - len(surf_pts)
+    assert s.surf.sum() == n_surf and (~s.surf).sum() == n_ext
+    assert s.x.shape == (n_surf + n_ext, 7)
+    assert s.y.shape == (n_surf + n_ext, 4)
+    # exterior: sdf > 0, normals zeroed; surface: sdf == 0, unit normals
+    ext_sdf = s.x[~s.surf, 3]
+    assert (ext_sdf > 0).all()
+    np.testing.assert_allclose(s.x[s.surf, 3], 0.0)
+    nrm = np.linalg.norm(s.x[s.surf, 4:7], axis=1)
+    np.testing.assert_allclose(nrm, 1.0, atol=1e-5)
+    # surface targets: pressure in the last channel, zero velocity
+    np.testing.assert_allclose(np.sort(s.y[s.surf, 3]), np.sort(press),
+                               atol=1e-5)
+    np.testing.assert_allclose(s.y[s.surf, :3], 0.0, atol=1e-6)
+
+    # get_samples discovers the fixture fold layout
+    folds = shapenet_car.get_samples(os.path.join(DATA, "car"))
+    assert folds[0] == [os.path.join("param0", "fixturecar000")]
+
+
+def test_visualize_car_and_slices(tmp_path):
+    """The full reference artifact set (visualization.py:20-260) renders
+    from a CarSample + [B,H,N,G] weights: mesh+top-k overlay, per-slice
+    dominance masks, total heatmap, 2D projections."""
+    from haet_tpu.utils.visualization import visualize_car_and_slices
+
+    sample_dir = os.path.join(DATA, "car", "param0", "fixturecar000")
+    s = shapenet_car.load_sample(sample_dir, "fixturecar000")
+    rng = np.random.RandomState(0)
+    n_pad = len(s.pos) + 3  # padded N, as the eval pipeline produces
+    w = np.abs(rng.rand(1, 4, n_pad, 8)).astype(np.float32)
+
+    out = str(tmp_path / "vis")
+    visualize_car_and_slices(s, w, out, sample_idx=0, top_k=3,
+                             max_slice_figs=2, dpi=40)
+    files = sorted(os.listdir(out))
+    assert "car_slices_0.png" in files
+    assert "slice_heatmap_0.png" in files
+    assert "slice_0_sample_0.png" in files and "slice_1_sample_0.png" in files
+    assert "slice_2_sample_0.png" not in files  # capped
+    for plane in ("xy", "xz", "yz"):
+        assert f"projection_{plane}_0.png" in files

@@ -158,3 +158,25 @@ def test_full_haet_2d_forward_matches_torch_oracle(monkeypatch):
                 + t(bp["mlp2"]["bias"])
 
     np.testing.assert_allclose(out, h.numpy(), rtol=5e-3, atol=5e-4)
+
+
+def test_shapenet_car_preset_param_parity():
+    """The car preset must have EXACTLY the vendored reference model's
+    parameter count.
+
+    Reference: ``benchmarks/02-.../models/Transolver.py`` instantiated with
+    ``main.py``'s pinned args (n_hidden=256, n_layers=2, space_dim=3,
+    fun_dim=4, n_head=8, mlp_ratio=2, out_dim=4, slice_num=32,
+    unified_pos=0) — counted with its CUDA deps stubbed — gives 1,757,190.
+    The 5,530,948 figure in the committed training log predates the current
+    reference CLI (see BASELINE.md).
+    """
+    from haet_tpu.utils.config import shapenet_car_config
+
+    model = shapenet_car_config().model.build()
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 128, 7), jnp.float32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x, None)
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"])
+    )
+    assert n_params == 1_757_190

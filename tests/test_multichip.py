@@ -50,10 +50,10 @@ def test_dp_sharded_forward_matches_single_device():
     with mesh:
         out = jax.jit(lambda v, x, fx: model.apply(v, x, fx))(vr, xs, fxs)
 
-    # NOTE: not bitwise — the physics-attention position normalization
-    # takes a global min/max over the flat batch, reduced across devices.
+    # NOTE: not bitwise — XLA partitions/fuses differently per sharding —
+    # but f32-tight (conftest pins matmul precision to "highest").
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_point_axis_sharding_matches_replicated():
@@ -81,4 +81,4 @@ def test_point_axis_sharding_matches_replicated():
         out = jax.jit(lambda v, x, fx: model.apply(v, x, fx))(vr, xs, fxs)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=1e-5, atol=1e-6)

@@ -85,3 +85,22 @@ def test_custom_vjp_grads_match_xla(data):
     for a, b in zip(g_fused, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_use_pallas_auto_dispatch_rule():
+    """use_pallas="auto" resolves at trace time: fused path only when N is
+    at/above the measured threshold AND the backend is TPU (on this CPU
+    backend it must resolve to False for any N)."""
+    from haet_tpu.models.physics_attention import PhysicsAttentionIrregularMesh
+
+    attn = PhysicsAttentionIrregularMesh(
+        dim=32, heads=4, dim_head=8, slice_num=16,
+        use_pallas="auto", pallas_auto_threshold=1000,
+    )
+    assert attn._pallas_enabled(999) is False
+    # CPU backend: stays on the XLA path even above the threshold
+    assert attn._pallas_enabled(10_000) is (jax.default_backend() == "tpu")
+
+    explicit = PhysicsAttentionIrregularMesh(
+        dim=32, heads=4, dim_head=8, slice_num=16, use_pallas=True)
+    assert explicit._pallas_enabled(1) is True

@@ -195,3 +195,63 @@ def test_train_steps_scan_matches_sequential():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fit_observability_metrics(tmp_path):
+    """Trainer.fit logs the reference's metric names (train.py:109-137):
+    per-epoch train/avg_batch_time, train/memory_used_mb,
+    train/learning_rate, plus grad_norm (the wandb.watch analogue); and
+    per-batch batch/* records when batch_log_every is set."""
+    import json as _json
+
+    from haet_tpu.data import batch_iter
+    from haet_tpu.train import MetricsLogger
+
+    trainer = _make_trainer()
+    trainer.batch_log_every = 1
+    d = _data(16)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in d.items()})
+    log_path = str(tmp_path / "metrics.jsonl")
+    state = trainer.fit(
+        state, batch_iter(d, 8, True, 0), epochs=2,
+        logger=MetricsLogger(path=log_path, echo=False),
+    )
+    recs = [_json.loads(line) for line in open(log_path)]
+    epoch_recs = [r for r in recs if "epoch" in r]
+    batch_recs = [r for r in recs if "batch/total_loss" in r]
+    assert len(epoch_recs) == 2 and batch_recs
+    for key in ("train/avg_batch_time", "train/memory_used_mb",
+                "train/learning_rate", "train/grad_norm", "train/loss",
+                "epoch/time_seconds"):
+        assert key in epoch_recs[-1], key
+    assert epoch_recs[-1]["train/memory_used_mb"] > 0
+    for key in ("batch/total_loss", "batch/learning_rate",
+                "batch/memory_used_mb", "batch/batch_time",
+                "batch/eta_seconds"):
+        assert key in batch_recs[0], key
+
+
+def test_periodic_checkpoints_and_keep(tmp_path):
+    """checkpoint_every saves epoch_{N} snapshots, pruned to `keep`
+    (reference exp_darcy.py:259-263); latest_periodic restores and resumes."""
+    from haet_tpu.data import batch_iter
+    from haet_tpu.train import MetricsLogger
+
+    trainer = _make_trainer(checkpoint_every=1)
+    d = _data(16)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in d.items()})
+    ck = Checkpointer(str(tmp_path / "ck"), keep=2)
+    state = trainer.fit(
+        state, batch_iter(d, 8, True, 0), epochs=5,
+        logger=MetricsLogger(echo=False), checkpointer=ck,
+    )
+    ck.wait()
+    assert ck.periodic_epochs() == [3, 4]  # keep=2 pruned 0..2
+    template = jax.tree_util.tree_map(np.asarray, state)
+    restored = ck.restore(template, "latest_periodic")
+    assert restored is not None and int(restored.step) == int(state.step)
+    # epoch_3 restorable by name too
+    assert ck.restore(template, "epoch_3") is not None
+    assert ck.restore(template, "epoch_0") is None

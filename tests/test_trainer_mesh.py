@@ -1,20 +1,25 @@
 """Trainer with a device mesh: data-parallel fit on the simulated 8-chip
-CPU mesh produces the same result as single-device training."""
+CPU mesh produces the same result as single-device training.
+
+Whole-param-tree comparisons at f32 tolerances (conftest pins matmul
+precision to "highest"): a subtly wrong gradient psum shows up in every
+leaf after an Adam step, so every leaf is checked."""
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from haet_tpu.parallel import make_mesh
 from haet_tpu.train import Trainer
 from haet_tpu.utils.config import ModelConfig, TrainConfig
 
 
-def _setup(mesh=None):
+def _setup(mesh=None, shard_axes=None):
     cfg = ModelConfig(variant="irregular", space_dim=3, fun_dim=1, out_dim=1,
                       n_layers=1, n_hidden=32, n_head=4, slice_num=16,
-                      rotate=0)
+                      rotate=0, shard_axes=shard_axes)
     model = cfg.build()
     trainer = Trainer(
         model=model,
@@ -34,34 +39,139 @@ def _setup(mesh=None):
     return trainer, batch
 
 
+def _assert_tree_close(t1, t2, rtol, atol):
+    """Every leaf of the param tree, not just the first."""
+    leaves1, tree1 = jax.tree_util.tree_flatten(t1)
+    leaves2, tree2 = jax.tree_util.tree_flatten(t2)
+    assert tree1 == tree2
+    for path_leaf, (a, b) in zip(
+        jax.tree_util.tree_leaves_with_path(t1), zip(leaves1, leaves2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
+            err_msg=jax.tree_util.keystr(path_leaf[0]),
+        )
+
+
+def _assert_params_close(p1, p2, g_ref, rtol=1e-4, atol=2e-5):
+    """Compare post-Adam params leaf-wise, masking leaves with (near-)zero
+    true gradient: there Adam's m/(sqrt(v)+eps) is a ratio of pure
+    reduction-order noise and takes full-lr steps in arbitrary directions
+    on BOTH sides — no tolerance is meaningful, and no psum bug can hide in
+    a leaf that receives no training signal (those are covered by the tight
+    gradient comparison instead). Masked leaves are still bounded by the
+    maximum plausible 2-step Adam movement (bias-corrected updates can
+    transiently exceed lr; observed ~4e-3 at lr=1e-3)."""
+    for (path, a), (_, b), (_, g) in zip(
+        jax.tree_util.tree_leaves_with_path(p1),
+        jax.tree_util.tree_leaves_with_path(p2),
+        jax.tree_util.tree_leaves_with_path(g_ref),
+    ):
+        name = jax.tree_util.keystr(path)
+        if float(np.max(np.abs(np.asarray(g)))) < 1e-6:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-2,
+                err_msg=f"{name} (no-signal leaf, Adam-noise bound)")
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
+                err_msg=name)
+
+
+def _run_two_steps(trainer, batch):
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, m1 = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    state, m2 = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+    return state, m1, m2
+
+
+def _grad_tree(trainer, batch, mesh=None, batch_spec=None):
+    """Whole-tree gradients of the trainer's loss at the (deterministic)
+    init params — gradients are exactly what a cross-device psum touches,
+    and unlike post-Adam params they carry no eps-normalized noise
+    amplification, so they can be compared at f32-tight tolerances."""
+    from jax.sharding import NamedSharding
+
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    def loss(params, b):
+        # TRAIN mode, like the real step: BatchNorm's batch-centering
+        # kills some bias gradients exactly (e.g. a SwiGLU output bias
+        # right before a pooling BN), and the no-signal mask in
+        # _assert_params_close must see the same zeros the optimizer saw.
+        out, _ = trainer._apply(
+            params, state.batch_stats, b, True, jax.random.PRNGKey(1)
+        )
+        return trainer.loss_fn(out, b)[0]
+
+    if mesh is None:
+        return jax.jit(jax.grad(loss))(state.params, batch)
+    sharded = {
+        k: jax.device_put(v, NamedSharding(mesh, batch_spec))
+        for k, v in batch.items()
+    }
+    with mesh:
+        return jax.jit(jax.grad(loss))(state.params, sharded)
+
+
 def test_dp_training_matches_single_device():
     t1, batch = _setup(mesh=None)
-    s1 = t1.init_state(jax.random.PRNGKey(0), batch)
-    s1, m1 = t1.train_step(s1, batch, jax.random.PRNGKey(1))
-    s1, m1b = t1.train_step(s1, batch, jax.random.PRNGKey(2))
+    s1, m1, m1b = _run_two_steps(t1, batch)
 
-    mesh = make_mesh(n_dp=8, n_tp=1)
-    t2, _ = _setup(mesh=mesh)
-    s2 = t2.init_state(jax.random.PRNGKey(0), batch)
-    with mesh:
-        s2, m2 = t2.train_step(s2, batch, jax.random.PRNGKey(1))
-        s2, m2b = t2.train_step(s2, batch, jax.random.PRNGKey(2))
+    t2, _ = _setup(mesh=make_mesh(n_dp=8, n_tp=1))
+    s2, m2, m2b = _run_two_steps(t2, batch)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
-                               rtol=1e-5)
+                               rtol=1e-6)
     np.testing.assert_allclose(float(m1b["loss"]), float(m2b["loss"]),
-                               rtol=1e-4)
-    # final params agree across dp sharding
-    k1 = jax.tree_util.tree_leaves(s1.params)[0]
-    k2 = jax.tree_util.tree_leaves(s2.params)[0]
-    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), rtol=2e-4,
-                               atol=2e-6)
+                               rtol=1e-6)
+    # Gradients tree-wide at f32-tight tolerance: a subtly wrong dp psum
+    # shifts every leaf here.
+    g1 = _grad_tree(t1, batch)
+    g2 = _grad_tree(t2, batch, make_mesh(n_dp=8, n_tp=1), P("dp"))
+    _assert_tree_close(g1, g2, rtol=1e-5, atol=1e-6)
+    _assert_params_close(s1.params, s2.params, g1)
 
 
-def test_dp_tp_mesh_runs():
-    mesh = make_mesh(n_dp=4, n_tp=2)
-    trainer, batch = _setup(mesh=mesh)
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+def test_dp_tp_mesh_matches_single_device():
+    """Combined dp x tp mesh with REAL head tensor parallelism
+    (shard_axes constraints active) == single-device numerics."""
+    t1, batch = _setup(mesh=None)
+    s1, m1, _ = _run_two_steps(t1, batch)
+
+    t2, _ = _setup(mesh=make_mesh(n_dp=4, n_tp=2), shard_axes=("dp", "tp"))
+    s2, m2, _ = _run_two_steps(t2, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    g1 = _grad_tree(t1, batch)
+    g2 = _grad_tree(t2, batch, make_mesh(n_dp=4, n_tp=2), P("dp"))
+    _assert_tree_close(g1, g2, rtol=1e-5, atol=1e-6)
+    _assert_params_close(s1.params, s2.params, g1)
+
+
+def test_dp_cp_combined_mesh_matches_single_device():
+    """Combined dp x cp mesh: batch over dp AND the points axis over cp.
+    The slice/deslice ops are reductions over N, exact under point
+    sharding (SURVEY.md §2.7 'context parallel')."""
+    t1, batch = _setup(mesh=None)
+    s1, m1, _ = _run_two_steps(t1, batch)
+
+    mesh = make_mesh(n_dp=4, n_tp=2)  # second axis doubles as the cp axis
+    t2, _ = _setup(mesh=mesh)
+    # Override the Trainer's default dp-only batch placement: points over tp.
+    sharded = {
+        k: jax.device_put(v, NamedSharding(mesh, P("dp", "tp")))
+        for k, v in batch.items()
+    }
+    s2 = t2.init_state(jax.random.PRNGKey(0), batch)
     with mesh:
-        state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
-    assert np.isfinite(float(metrics["loss"]))
+        s2, m2 = t2._train_step(s2, sharded, jax.random.PRNGKey(1))
+        s2, _ = t2._train_step(s2, sharded, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    g1 = _grad_tree(t1, batch)
+    g2 = _grad_tree(t2, batch, mesh, P("dp", "tp"))
+    _assert_tree_close(g1, g2, rtol=1e-5, atol=1e-6)
+    _assert_params_close(s1.params, s2.params, g1)
