@@ -36,7 +36,7 @@ def base_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--out_dir", type=str, default="./runs")
     p.add_argument("--save_name", type=str, default=name)
     p.add_argument("--smoke", action="store_true")
-    return p
+    return add_mesh_args(p)
 
 
 def shrink_for_smoke(args):
@@ -66,3 +66,51 @@ def apply_model_args(cfg, args):
     cfg.model.ref = args.ref
     cfg.model.bf16 = bool(args.bf16)
     return cfg
+
+
+def add_mesh_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """--dp/--tp flags: multi-chip SPMD from any driver CLI (the reference
+    has no distributed path at all, SURVEY.md §2.7)."""
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = no mesh)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="head tensor-parallel mesh size (requires "
+                        "n_heads %% tp == 0)")
+    return p
+
+
+def make_mesh_from_args(cfg, args):
+    """Build the (dp, tp) mesh and enable the model's head-TP sharding
+    constraints when tp > 1. Returns the mesh (or None) to pass to
+    Trainer(mesh=...). Mutates cfg.model.shard_axes."""
+    if not getattr(args, "dp", 0) and getattr(args, "tp", 1) <= 1:
+        return None
+    from haet_tpu.parallel import make_mesh
+
+    import jax
+
+    n_tp = max(1, getattr(args, "tp", 1))
+    # --tp without --dp = tensor-parallel only (dp=1); data parallelism is
+    # opted into explicitly because it needs batch_size % dp == 0.
+    n_dp = getattr(args, "dp", 0) or 1
+    if n_dp * n_tp > len(jax.devices()):
+        raise SystemExit(
+            f"--dp {n_dp} x --tp {n_tp} needs {n_dp * n_tp} devices, "
+            f"have {len(jax.devices())}")
+    # Use the first dp*tp devices — an explicit --dp below the device count
+    # is allowed (e.g. --dp 2 --tp 2 on an 8-device host).
+    mesh = make_mesh(n_dp=n_dp, n_tp=n_tp,
+                     devices=jax.devices()[: n_dp * n_tp])
+    if n_tp > 1:
+        if cfg.model.n_head % n_tp:
+            raise SystemExit(
+                f"--tp {n_tp} must divide n_heads ({cfg.model.n_head})")
+        cfg.model.shard_axes = ("dp", "tp")
+    n_dp_actual = mesh.shape["dp"]
+    if cfg.train.batch_size % n_dp_actual:
+        raise SystemExit(
+            f"batch size {cfg.train.batch_size} must be divisible by the "
+            f"dp mesh size {n_dp_actual}")
+    print(f"[mesh] dp={mesh.shape['dp']} tp={mesh.shape['tp']} "
+          f"({len(mesh.devices.ravel())} devices)")
+    return mesh

@@ -75,8 +75,7 @@ def main(args):
             if s_.quads is None:
                 continue
             batch = make_batch(s_)
-            out, _unused = trainer._apply(state.params, state.batch_stats,
-                                          batch, False, None)
+            out = trainer.predict(state, batch)
             od = coef.decode_y(np.asarray(out)[0][: len(s_.pos)])
             yd = coef.decode_y(s_.y)
             pts = s_.pos[s_.surf_slice]

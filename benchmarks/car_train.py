@@ -78,9 +78,7 @@ def evaluate(trainer, state, samples, coef, logger=None):
     for s in samples:
         batch = make_batch(s)
         t0 = time.perf_counter()
-        out, _ = trainer._apply(state.params, state.batch_stats, batch,
-                                False, None)
-        out = np.asarray(out)[0]
+        out = np.asarray(trainer.predict(state, batch))[0]
         times.append(time.perf_counter() - t0)
         n = len(s.pos)
         out = out[:n]
@@ -126,6 +124,17 @@ def main(args):
     cfg.model.n_layers = args.n_layers
     cfg.model.slice_num = args.slice_num
     cfg.model.bf16 = bool(args.bf16)
+    if args.smoke:
+        # reset the preset's pinned Erwin sizing (8-head, depth-4, vendored
+        # reference config) to the defaults, which scale with n_head —
+        # 8 erwin heads cannot split a dim_head of 32/8=4
+        cfg.model.n_head = 4
+        cfg.model.enc_num_heads = cfg.model.enc_depths = None
+        cfg.model.dec_num_heads = cfg.model.dec_depths = None
+        cfg.model.erwin_mlp_ratio = None
+        cfg.model.embed = False
+    from _common import make_mesh_from_args
+    mesh = make_mesh_from_args(cfg, args)
 
     train_s, val_s, coef, is_synth = shapenet_car.load_train_val_fold(
         args.data_dir, args.fold_id, savedir=args.save_dir,
@@ -142,6 +151,7 @@ def main(args):
         cfg=cfg.train,
         total_steps=len(train_s) * cfg.train.epochs,
         batch_args=lambda b: (b["x"], None),
+        mesh=mesh,
     )
     state = trainer.init_state(
         jax.random.PRNGKey(cfg.train.seed), make_batch(train_s[0])
@@ -191,6 +201,8 @@ if __name__ == "__main__":
     p.add_argument("--slice_num", type=int, default=32)
     p.add_argument("--bf16", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="./runs")
+    from _common import add_mesh_args
+    add_mesh_args(p)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()

@@ -14,7 +14,8 @@ import os
 
 import numpy as np
 
-from _common import apply_model_args, base_parser, shrink_for_smoke
+from _common import (apply_model_args, base_parser, make_mesh_from_args,
+                     shrink_for_smoke)
 
 import jax
 
@@ -59,6 +60,7 @@ def main(args):
                           batch_size=args.batch_size),
     )
     cfg = apply_model_args(cfg, args)
+    mesh = make_mesh_from_args(cfg, args)
     cfg.model.H = cfg.model.W = cfg.model.D = s
     cfg.model.ref = 4
 
@@ -88,6 +90,7 @@ def main(args):
         model=model, loss_fn=loss_fn, cfg=cfg.train,
         total_steps=steps * cfg.train.epochs,
         batch_args=lambda b: (b["pos"], b["fx"]),
+        mesh=mesh,
     )
     state = trainer.init_state(jax.random.PRNGKey(0),
                                {k: v[:bs] for k, v in train.items()})

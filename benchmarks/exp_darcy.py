@@ -59,6 +59,8 @@ def build(args):
 
 def main(args):
     cfg = build(args)
+    from _common import make_mesh_from_args
+    mesh = make_mesh_from_args(cfg, args)
     data = load_darcy(args.data_path, args.ntrain, args.ntest, args.downsample)
     s = data["s"]
     if data["synthetic"]:
@@ -109,6 +111,7 @@ def main(args):
         cfg=cfg.train,
         total_steps=steps_per_epoch * cfg.train.epochs,
         batch_args=lambda b: (b["pos"], b["fx"]),
+        mesh=mesh,
     )
     state = trainer.init_state(
         jax.random.PRNGKey(cfg.train.seed),
@@ -166,6 +169,8 @@ if __name__ == "__main__":
                    help="save prediction/gt/error images after eval")
     p.add_argument("--resume", action="store_true",
                    help="resume from the last checkpoint in out_dir")
+    from _common import add_mesh_args
+    add_mesh_args(p)
     p.add_argument("--smoke", action="store_true",
                    help="tiny synthetic run (CI/dev)")
     args = p.parse_args()

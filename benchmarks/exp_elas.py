@@ -7,7 +7,8 @@ from __future__ import annotations
 
 import os
 
-from _common import apply_model_args, base_parser, shrink_for_smoke
+from _common import (apply_model_args, base_parser, make_mesh_from_args,
+                     shrink_for_smoke)
 
 import jax
 import numpy as np
@@ -22,6 +23,7 @@ from haet_tpu.utils.config import elasticity_config
 
 def main(args):
     cfg = apply_model_args(elasticity_config(), args)
+    mesh = make_mesh_from_args(cfg, args)
     data = load_elasticity(args.data_path, args.ntrain, args.ntest)
     if data["synthetic"]:
         print("[elasticity] dataset not found -> synthetic stand-in data")
@@ -54,6 +56,7 @@ def main(args):
         model=model, loss_fn=loss_fn, cfg=cfg.train,
         total_steps=steps * cfg.train.epochs,
         batch_args=lambda b: (b["pos"], None),
+        mesh=mesh,
     )
     state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed),
                                {k: v[:bs] for k, v in train.items()})

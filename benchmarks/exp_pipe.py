@@ -7,7 +7,8 @@ from __future__ import annotations
 
 import os
 
-from _common import apply_model_args, base_parser, shrink_for_smoke
+from _common import (apply_model_args, base_parser, make_mesh_from_args,
+                     shrink_for_smoke)
 
 import jax
 import numpy as np
@@ -23,6 +24,7 @@ from haet_tpu.utils.config import pipe_config
 def run(args, prefix="Pipe", h=129, w=129, config_fn=pipe_config,
         name="pipe"):
     cfg = apply_model_args(config_fn(), args)
+    mesh = make_mesh_from_args(cfg, args)
     if args.smoke:
         h, w = 33, 33
     data = load_structured_mesh(args.data_path, prefix, args.ntrain,
@@ -59,6 +61,7 @@ def run(args, prefix="Pipe", h=129, w=129, config_fn=pipe_config,
         model=model, loss_fn=loss_fn, cfg=cfg.train,
         total_steps=steps * cfg.train.epochs,
         batch_args=lambda b: (b["pos"], None),
+        mesh=mesh,
     )
     state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed),
                                {k: v[:bs] for k, v in train.items()})

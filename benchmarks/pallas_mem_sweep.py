@@ -86,10 +86,14 @@ def probe_subprocess(num_points: int, use_pallas: bool) -> dict:
                 return rec
         except json.JSONDecodeError:
             continue
-    err = (proc.stderr or "")[-400:]
+    err = proc.stderr or ""
     oom = "RESOURCE_EXHAUSTED" in err or "out of memory" in err.lower()
+    lines = [l for l in err.splitlines()
+             if "RESOURCE_EXHAUSTED" in l or "Error" in l]
     return {"num_points": num_points, "pallas": use_pallas, "ok": False,
-            "oom": oom, "error_tail": err.splitlines()[-1] if err else "rc=%d" % proc.returncode}
+            "oom": oom,
+            "error_tail": (lines[0][:200] if lines
+                           else f"rc={proc.returncode}")}
 
 
 def find_max_n(use_pallas: bool, start: int, limit: int, log):

@@ -272,6 +272,21 @@ class Trainer:
                 return self._eval_step(state, batch)
         return self._eval_step(state, batch)
 
+    def predict(self, state, batch):
+        """Forward pass on a batch (eval mode), mesh-aware: enters the mesh
+        context so models with sharding constraints (head TP) trace
+        correctly, and shards the batch over dp."""
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            batch = shard_batch(batch, self.mesh)
+            with self.mesh:
+                out, _ = self._apply(
+                    state.params, state.batch_stats, batch, False, None)
+            return out
+        out, _ = self._apply(state.params, state.batch_stats, batch,
+                             False, None)
+        return out
+
     def _scan_steps(self, state, batches, rng):
         def body(carry, batch):
             st, r = carry
