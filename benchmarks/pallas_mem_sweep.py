@@ -31,8 +31,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_probe(num_points: int, use_pallas: bool, bf16: bool = True):
-    """One forward at N points; prints a JSON line; exits 0 on success."""
+def run_probe(num_points: int, use_pallas: bool, bf16: bool = True,
+              grad: bool = False):
+    """One forward (or fwd+bwd when ``grad``) at N points; prints a JSON
+    line; exits 0 on success."""
     from haet_tpu.utils.env import apply_platform_override
 
     apply_platform_override()
@@ -53,14 +55,28 @@ def run_probe(num_points: int, use_pallas: bool, bf16: bool = True):
     fx = jnp.asarray(rng.rand(1, num_points, 1).astype(np.float32))
     t0 = time.perf_counter()
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
-    out = jax.jit(lambda v, x, fx: model.apply(v, x, fx))(variables, x, fx)
-    ok = bool(jnp.isfinite(jnp.sum(out.astype(jnp.float32))))
+    if grad:
+        def loss(v, x, fx):
+            out = model.apply(v, x, fx)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(loss))(variables, x, fx)
+        total = sum(
+            jnp.sum(jnp.abs(l.astype(jnp.float32)))
+            for l in jax.tree_util.tree_leaves(g)
+        )
+        ok = bool(jnp.isfinite(total))
+    else:
+        out = jax.jit(lambda v, x, fx: model.apply(v, x, fx))(
+            variables, x, fx)
+        ok = bool(jnp.isfinite(jnp.sum(out.astype(jnp.float32))))
     dt = time.perf_counter() - t0
     stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
     peak = (stats or {}).get("peak_bytes_in_use")
     rec = {
         "num_points": num_points,
         "pallas": use_pallas,
+        "grad": grad,
         "ok": ok,
         "first_call_seconds": round(dt, 2),
         "peak_memory_mb": round(peak / 2**20, 1) if peak else None,
@@ -69,10 +85,12 @@ def run_probe(num_points: int, use_pallas: bool, bf16: bool = True):
     return 0 if ok else 1
 
 
-def probe_subprocess(num_points: int, use_pallas: bool) -> dict:
+def probe_subprocess(num_points: int, use_pallas: bool,
+                     grad: bool = False) -> dict:
     """Fresh-process probe; returns the parsed JSON record or an OOM mark."""
     cmd = [sys.executable, os.path.abspath(__file__),
-           "--probe", str(num_points), "--pallas", str(int(use_pallas))]
+           "--probe", str(num_points), "--pallas", str(int(use_pallas)),
+           "--grad", str(int(grad))]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=1800)
@@ -96,12 +114,12 @@ def probe_subprocess(num_points: int, use_pallas: bool) -> dict:
                            else f"rc={proc.returncode}")}
 
 
-def find_max_n(use_pallas: bool, start: int, limit: int, log):
-    """Double until failure, then bisect to ~10% resolution."""
+def find_max_n(use_pallas: bool, start: int, limit: int, log, grad=False):
+    """Double until failure, then bisect."""
     n = start
     last_ok, first_bad = None, None
     while n <= limit:
-        rec = probe_subprocess(n, use_pallas)
+        rec = probe_subprocess(n, use_pallas, grad)
         log(rec)
         if rec.get("ok"):
             last_ok = n
@@ -116,7 +134,7 @@ def find_max_n(use_pallas: bool, start: int, limit: int, log):
     lo, hi = last_ok, first_bad
     while hi - lo > max(lo // 5, 1 << 16):
         mid = (lo + hi) // 2
-        rec = probe_subprocess(mid, use_pallas)
+        rec = probe_subprocess(mid, use_pallas, grad)
         log(rec)
         if rec.get("ok"):
             lo = mid
@@ -129,13 +147,17 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--probe", type=int, default=None)
     p.add_argument("--pallas", type=int, default=0)
+    p.add_argument("--grad", type=int, default=0,
+                   help="probe fwd+bwd (the training memory claim) instead "
+                        "of forward-only")
     p.add_argument("--start", type=int, default=1_000_000)
     p.add_argument("--limit", type=int, default=128_000_000)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
     if args.probe is not None:
-        sys.exit(run_probe(args.probe, bool(args.pallas)))
+        sys.exit(run_probe(args.probe, bool(args.pallas),
+                           grad=bool(args.grad)))
 
     records = []
 
@@ -143,10 +165,13 @@ def main():
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
-    max_xla, xla_oomed = find_max_n(False, args.start, args.limit, log)
-    max_pallas, pallas_oomed = find_max_n(True, args.start, args.limit, log)
+    max_xla, xla_oomed = find_max_n(False, args.start, args.limit, log,
+                                    grad=bool(args.grad))
+    max_pallas, pallas_oomed = find_max_n(True, args.start, args.limit, log,
+                                          grad=bool(args.grad))
     summary = {
         "summary": True,
+        "grad": bool(args.grad),
         "max_points_xla": max_xla,
         "max_points_pallas": max_pallas,
         "xla_hit_oom": xla_oomed,

@@ -178,11 +178,13 @@ class _PhysicsAttentionBase(nn.Module):
         w = None
         if use_pallas:
             from ..ops.pallas import slice_kernels as sk
+            # x_proj passes in its native (e.g. bf16) dtype — the kernels
+            # upcast per-tile in VMEM; a whole-array f32 copy of the
+            # largest activation would defeat the memory purpose.
             states, m_res, s_res = sk.slice_states(
-                x_proj.astype(jnp.float32), w_slice, b_slice, w_ada, b_ada,
+                x_proj, w_slice, b_slice, w_ada, b_ada,
                 self.base_temp, self.epsilon,
             )
-            states = states.astype(x_proj.dtype)
         else:
             tau = slice_ops.ada_temp(x_proj @ w_ada + b_ada, self.base_temp)
             logits = x_proj @ w_slice + b_slice
@@ -241,10 +243,10 @@ class _PhysicsAttentionBase(nn.Module):
         if use_pallas:
             from ..ops.pallas import slice_kernels as sk
             out = sk.deslice(
-                x_proj.astype(jnp.float32), w_slice, b_slice, w_ada, b_ada,
-                out_states.astype(jnp.float32), m_res, s_res,
+                x_proj, w_slice, b_slice, w_ada, b_ada,
+                out_states, m_res, s_res,
                 self.base_temp, self.epsilon,
-            ).astype(x_proj.dtype)
+            )
         else:
             out = slice_ops.deslice(out_states, w)
         out = slice_ops.merge_heads(out)

@@ -18,10 +18,17 @@ that's ~1 GB of traffic per layer. These kernels never materialize it:
   transformed states: ``out = e @ states``; again no ``[N, G]`` round trip
   to HBM.
 
-Both are wrapped in ``jax.custom_vjp`` whose backward recomputes through the
-reference XLA composition (:mod:`haet_tpu.ops.slice_ops`), so gradients are
-exactly the XLA gradients and the memory saving also applies to the forward
-of the backward pass.
+Both are wrapped in ``jax.custom_vjp`` whose backward is a hand-derived
+**chunked** pass over N using the ``(m, s)`` softmax residuals: each chunk
+recomputes its weight tile and applies the softmax-over-N jacobian
+analytically (for :func:`slice_states` the coupling term
+``t[g] = sum_n w*dL/dw`` even has a closed form in the eidetic states, so
+one pass suffices; :func:`deslice` needs two). The ``[B, H, N, G]`` weight
+tensor is therefore never materialized in EITHER direction — this is what
+makes the fused path the max-N memory option for training (the previous
+backward recomputed through the XLA composition, which allocated the full
+weight tensor and negated the claim; measured in
+``benchmarks/pallas_mem_sweep.py``).
 
 Use :func:`fused_physics_tokenizer` / the ``use_pallas`` flag on
 ``PhysicsAttention*``; falls back to XLA off-TPU.
@@ -233,24 +240,131 @@ def _xla_weights(x_proj, w_slice, b_slice, w_ada, b_ada, base_temp, epsilon):
     return slice_ops.rep_slice_weights(logits, tau, epsilon)
 
 
+# ---------------------------------------------------------------------------
+# Chunked hand-derived backward
+#
+# Forward math (per (b,h), softmax over the points axis n):
+#   raw[n]    = x[n,:] @ Wa + ba
+#   tau[n]    = base + clip(raw[n], ±0.4)
+#   pre[n,g]  = x[n,:] @ Ws + bs − log(−log ε)
+#   logit     = pre / tau
+#   w[n,g]    = exp(logit − m[g]) / s[g]            (m, s: fwd residuals)
+#   A[g,c]    = Σ_n w[n,g] x[n,c];  states = A / (1 + 1e-5)   (Σ_n w == 1)
+#
+# Given dL/dw[n,g], the softmax-over-n jacobian gives
+#   dL/dlogit[n,g] = w[n,g] (dL/dw[n,g] − t[g]),  t[g] = Σ_n w dL/dw,
+# then the Ada-Temp chain:
+#   dL/dpre = dL/dlogit / tau
+#   dL/dtau[n] = −Σ_g dL/dlogit[n,g] · logit[n,g] / tau[n]
+#   dL/draw = dL/dtau · 1{|raw| < 0.4}
+#   dL/dx  += dL/dpre @ Wsᵀ + dL/draw @ Waᵀ
+# All of it decomposes over n-chunks once (m, s) are known — no [N, G]
+# tensor is ever alive beyond one chunk.
+# ---------------------------------------------------------------------------
+
+_BWD_CHUNK = 64 * 1024
+
+
+def _w_chunk(xc, w_slice, b_slice, w_ada, b_ada, base_temp, shift, m, s,
+             valid):
+    """Recompute (w, logit, tau, raw) for one [BH, T, C] chunk (f32)."""
+    raw = jnp.einsum("btc,co->bto", xc, w_ada, precision=_HI) + b_ada
+    tau = base_temp + jnp.clip(raw, -0.4, 0.4)
+    pre = jnp.einsum("btc,cg->btg", xc, w_slice, precision=_HI) \
+        + b_slice - shift
+    logit = pre / tau
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    denom = jnp.where(s > 0, s, 1.0)
+    w = jnp.exp(logit - m_safe[:, None, :]) / denom[:, None, :]
+    w = jnp.where(valid, w, 0.0)
+    return w, logit, tau, raw
+
+
+def _chain_to_inputs(xc, w, dw, t, logit, tau, raw, w_slice, w_ada, valid):
+    """dL/dw -> (dx_extra, dWs, dbs, dWa, dba) for one chunk."""
+    dlogit = jnp.where(valid, w * (dw - t[:, None, :]), 0.0)
+    dpre = dlogit / tau
+    dtau = -jnp.sum(dlogit * logit, axis=-1, keepdims=True) / tau
+    draw = jnp.where((raw > -0.4) & (raw < 0.4), dtau, 0.0)
+    dx = jnp.einsum("btg,cg->btc", dpre, w_slice, precision=_HI) \
+        + jnp.einsum("bto,co->btc", draw, w_ada, precision=_HI)
+    dWs = jnp.einsum("btc,btg->cg", xc, dpre, precision=_HI)
+    dbs = jnp.sum(dpre, axis=(0, 1))
+    dWa = jnp.einsum("btc,bto->co", xc, draw, precision=_HI)
+    dba = jnp.sum(draw, axis=(0, 1))
+    return dx, dWs, dbs, dWa, dba
+
+
+def _pad_chunks(xf, n):
+    chunk = min(_BWD_CHUNK, max(256, n))
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        xf = jnp.pad(xf, ((0, 0), (0, n_pad - n), (0, 0)))
+    return xf, chunk, n_pad // chunk
+
+
 def _slice_states_fwd(x_proj, w_slice, b_slice, w_ada, b_ada,
                       base_temp, epsilon, tile_n):
     out = _slice_states_impl(x_proj, w_slice, b_slice, w_ada, b_ada,
                              base_temp, epsilon, tile_n)
-    return out, (x_proj, w_slice, b_slice, w_ada, b_ada)
+    states, m, s = out
+    return out, (x_proj, w_slice, b_slice, w_ada, b_ada, states, m, s)
 
 
 def _slice_states_bwd(base_temp, epsilon, tile_n, res, grads):
-    x_proj, w_slice, b_slice, w_ada, b_ada = res
-    g_states, _, _ = grads  # m, s residuals carry no cotangent
+    x_proj, w_slice, b_slice, w_ada, b_ada, states, m, s = res
+    g_states = grads[0].astype(jnp.float32)  # m, s carry no cotangent
+    b, h, n, c = x_proj.shape
+    g = w_slice.shape[1]
+    bh = b * h
+    shift = math.log(-math.log(epsilon))
 
-    def ref(x_proj, w_slice, b_slice, w_ada, b_ada):
-        w = _xla_weights(x_proj, w_slice, b_slice, w_ada, b_ada,
-                         base_temp, epsilon)
-        return slice_ops.eidetic_states(x_proj, w)
+    acc_dt = jnp.result_type(jnp.float32, x_proj.dtype)
+    xf = _flatten_heads(x_proj)
+    st = _flatten_heads(states).astype(acc_dt)          # [BH, G, C]
+    Gs = _flatten_heads(g_states).astype(acc_dt)
+    mf = m.reshape(bh, g).astype(acc_dt)
+    sf = s.reshape(bh, g).astype(acc_dt)
+    ws = w_slice.astype(acc_dt)
+    bs = b_slice.astype(acc_dt)
+    wa = w_ada.astype(acc_dt)
+    ba = b_ada.astype(acc_dt)
 
-    _, vjp = jax.vjp(ref, x_proj, w_slice, b_slice, w_ada, b_ada)
-    return vjp(g_states.astype(jnp.float32))
+    # states = A / (1 + 1e-5) with Σ_n w == 1 (exact softmax), and the
+    # norm's own gradient: dL/dw gains dnorm[g] = −Σ_c Ĝ·states.
+    Ghat = Gs / (1.0 + 1e-5)                            # [BH, G, C]
+    A = st * (1.0 + 1e-5)
+    dnorm = -jnp.einsum("bgc,bgc->bg", Ghat, st, precision=_HI)
+    # closed form for the softmax coupling: t[g] = Σ_n w (x@Ĝᵀ + dnorm)
+    #   = Σ_c Ĝ[g,c] A[g,c] + dnorm[g]   (since Σ_n w x = A, Σ_n w = 1)
+    t = jnp.einsum("bgc,bgc->bg", Ghat, A, precision=_HI) + dnorm
+
+    xp, chunk, n_chunks = _pad_chunks(xf, n)
+
+    def body(carry, ci):
+        dWs, dbs, dWa, dba = carry
+        start = ci * chunk
+        xc = jax.lax.dynamic_slice(
+            xp, (0, start, 0), (bh, chunk, c)).astype(acc_dt)
+        row = start + jnp.arange(chunk)
+        valid = (row < n)[None, :, None]
+        w, logit, tau, raw = _w_chunk(
+            xc, ws, bs, wa, ba, base_temp, shift, mf, sf, valid)
+        dw = jnp.einsum("btc,bgc->btg", xc, Ghat, precision=_HI) \
+            + dnorm[:, None, :]
+        dx = jnp.einsum("btg,bgc->btc", w, Ghat, precision=_HI)  # A-path
+        dx2, dWs_c, dbs_c, dWa_c, dba_c = _chain_to_inputs(
+            xc, w, dw, t, logit, tau, raw, ws, wa, valid)
+        return (dWs + dWs_c, dbs + dbs_c, dWa + dWa_c, dba + dba_c), dx + dx2
+
+    zeros = (jnp.zeros((c, g), acc_dt), jnp.zeros((g,), acc_dt),
+             jnp.zeros((c, 1), acc_dt), jnp.zeros((1,), acc_dt))
+    (dWs, dbs, dWa, dba), dx_chunks = jax.lax.scan(
+        body, zeros, jnp.arange(n_chunks))
+    dx = jnp.moveaxis(dx_chunks, 0, 1).reshape(bh, n_chunks * chunk, c)
+    dx = dx[:, :n].reshape(b, h, n, c).astype(x_proj.dtype)
+    return (dx, dWs.astype(w_slice.dtype), dbs.astype(b_slice.dtype),
+            dWa.astype(w_ada.dtype), dba.astype(b_ada.dtype))
 
 
 slice_states.defvjp(_slice_states_fwd, _slice_states_bwd)
@@ -315,20 +429,85 @@ def _deslice_fwd(x_proj, w_slice, b_slice, w_ada, b_ada, states, m, s,
                  base_temp, epsilon, tile_n):
     out = _deslice_impl(x_proj, w_slice, b_slice, w_ada, b_ada, states, m, s,
                         base_temp, epsilon, tile_n)
-    return out, (x_proj, w_slice, b_slice, w_ada, b_ada, states)
+    return out, (x_proj, w_slice, b_slice, w_ada, b_ada, states, m, s)
 
 
 def _deslice_bwd(base_temp, epsilon, tile_n, res, g_out):
-    x_proj, w_slice, b_slice, w_ada, b_ada, states = res
+    """Chunked backward of ``out[n,c] = Σ_g w[n,g] st[g,c]``.
 
-    def ref(x_proj, w_slice, b_slice, w_ada, b_ada, states):
-        w = _xla_weights(x_proj, w_slice, b_slice, w_ada, b_ada,
-                         base_temp, epsilon)
-        return slice_ops.deslice(states, w)
+    Unlike :func:`_slice_states_bwd`, the softmax coupling
+    ``t[g] = Σ_n w[n,g] (g_out @ stᵀ)[n,g]`` has no closed form, so two
+    chunked passes run over N: pass 1 accumulates ``t`` and ``dL/dst``,
+    pass 2 applies the jacobian chain. Still no [N, G] residency.
+    """
+    x_proj, w_slice, b_slice, w_ada, b_ada, states, m, s = res
+    acc_dt = jnp.result_type(jnp.float32, x_proj.dtype)
+    go = g_out.astype(acc_dt)
+    b, h, n, c = x_proj.shape
+    g = w_slice.shape[1]
+    bh = b * h
+    shift = math.log(-math.log(epsilon))
 
-    _, vjp = jax.vjp(ref, x_proj, w_slice, b_slice, w_ada, b_ada, states)
-    grads = vjp(g_out.astype(jnp.float32))
-    return (*grads, None, None)
+    xf = _flatten_heads(x_proj)
+    st = _flatten_heads(states).astype(acc_dt)          # [BH, G, C]
+    gof = _flatten_heads(go)
+    mf = m.reshape(bh, g).astype(acc_dt)
+    sf = s.reshape(bh, g).astype(acc_dt)
+    ws = w_slice.astype(acc_dt)
+    bs = b_slice.astype(acc_dt)
+    wa = w_ada.astype(acc_dt)
+    ba = b_ada.astype(acc_dt)
+
+    xp, chunk, n_chunks = _pad_chunks(xf, n)
+    gop, _, _ = _pad_chunks(gof, n)
+
+    def slice_chunk(arr, ci):
+        return jax.lax.dynamic_slice(
+            arr, (0, ci * chunk, 0), (bh, chunk, arr.shape[2])
+        ).astype(acc_dt)
+
+    def valid_mask(ci):
+        row = ci * chunk + jnp.arange(chunk)
+        return (row < n)[None, :, None]
+
+    def pass1(carry, ci):
+        t, dst = carry
+        xc = slice_chunk(xp, ci)
+        goc = slice_chunk(gop, ci)
+        valid = valid_mask(ci)
+        w, *_ = _w_chunk(xc, ws, bs, wa, ba, base_temp, shift, mf, sf, valid)
+        dw = jnp.einsum("btc,bgc->btg", goc, st, precision=_HI)
+        t = t + jnp.einsum("btg,btg->bg", w, dw, precision=_HI)
+        dst = dst + jnp.einsum("btg,btc->bgc", w, goc, precision=_HI)
+        return (t, dst), None
+
+    (t, dst), _ = jax.lax.scan(
+        pass1,
+        (jnp.zeros((bh, g), acc_dt), jnp.zeros((bh, g, c), acc_dt)),
+        jnp.arange(n_chunks),
+    )
+
+    def pass2(carry, ci):
+        dWs, dbs, dWa, dba = carry
+        xc = slice_chunk(xp, ci)
+        goc = slice_chunk(gop, ci)
+        valid = valid_mask(ci)
+        w, logit, tau, raw = _w_chunk(
+            xc, ws, bs, wa, ba, base_temp, shift, mf, sf, valid)
+        dw = jnp.einsum("btc,bgc->btg", goc, st, precision=_HI)
+        dx, dWs_c, dbs_c, dWa_c, dba_c = _chain_to_inputs(
+            xc, w, dw, t, logit, tau, raw, ws, wa, valid)
+        return (dWs + dWs_c, dbs + dbs_c, dWa + dWa_c, dba + dba_c), dx
+
+    zeros = (jnp.zeros((c, g), acc_dt), jnp.zeros((g,), acc_dt),
+             jnp.zeros((c, 1), acc_dt), jnp.zeros((1,), acc_dt))
+    (dWs, dbs, dWa, dba), dx_chunks = jax.lax.scan(
+        pass2, zeros, jnp.arange(n_chunks))
+    dx = jnp.moveaxis(dx_chunks, 0, 1).reshape(bh, n_chunks * chunk, c)
+    dx = dx[:, :n].reshape(b, h, n, c).astype(x_proj.dtype)
+    return (dx, dWs.astype(w_slice.dtype), dbs.astype(b_slice.dtype),
+            dWa.astype(w_ada.dtype), dba.astype(b_ada.dtype),
+            dst.reshape(b, h, g, c).astype(states.dtype), None, None)
 
 
 deslice.defvjp(_deslice_fwd, _deslice_bwd)

@@ -166,6 +166,10 @@ class Trainer:
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval)
         self._train_scan = jax.jit(self._scan_steps, donate_argnums=(0,))
+        self._predict_jit = jax.jit(
+            lambda params, batch_stats, batch:
+            self._apply(params, batch_stats, batch, False, None)[0]
+        )
 
     # -- state ------------------------------------------------------------
     def init_state(self, rng, sample_batch) -> TrainState:
@@ -273,19 +277,19 @@ class Trainer:
         return self._eval_step(state, batch)
 
     def predict(self, state, batch):
-        """Forward pass on a batch (eval mode), mesh-aware: enters the mesh
-        context so models with sharding constraints (head TP) trace
-        correctly, and shards the batch over dp."""
+        """Jitted forward pass on a batch (eval mode), mesh-aware: enters
+        the mesh context so models with sharding constraints (head TP)
+        trace correctly, and shards the batch over dp. One compiled
+        program per batch shape (callers bucket-pad, so recompiles stay
+        bounded) — eager apply would pay per-op dispatch latency, ~500x
+        slower through a hosted runtime."""
         if self.mesh is not None:
             from ..parallel.mesh import shard_batch
             batch = shard_batch(batch, self.mesh)
             with self.mesh:
-                out, _ = self._apply(
-                    state.params, state.batch_stats, batch, False, None)
-            return out
-        out, _ = self._apply(state.params, state.batch_stats, batch,
-                             False, None)
-        return out
+                return self._predict_jit(state.params, state.batch_stats,
+                                         batch)
+        return self._predict_jit(state.params, state.batch_stats, batch)
 
     def _scan_steps(self, state, batches, rng):
         def body(carry, batch):
@@ -309,16 +313,18 @@ class Trainer:
         and the time-shared chip's scheduling; batching K steps into one
         program measured up to ~2x faster per step in slow regimes
         (docs/benchmarks.md "Timing methodology, revisited"). With a mesh,
-        per-step dispatch is used instead (sharding is per-batch).
+        the stacked batches are placed ``P(None, "dp")`` (scan axis
+        replicated, batch axis over dp) and the scan traces under the mesh
+        context — one device program per K steps on multi-chip too.
         """
         if self.mesh is not None:
-            all_metrics = []
-            for batch in batches:
-                rng, sub = jax.random.split(rng)
-                state, metrics = self.train_step(state, batch, sub)
-                all_metrics.append(metrics)
-            return state, jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *all_metrics)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            s = NamedSharding(self.mesh, PartitionSpec(None, "dp"))
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jax.device_put(np.stack(xs), s), *batches)
+            with self.mesh:
+                return self._train_scan(state, stacked, rng)
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *batches)
         return self._train_scan(state, stacked, rng)

@@ -82,9 +82,81 @@ def test_custom_vjp_grads_match_xla(data):
     args = (data["x"], data["ws"], data["bs"], data["wa"], data["ba"])
     g_fused = jax.grad(fused_loss, argnums=(0, 1, 2, 3, 4))(*args)
     g_xla = jax.grad(xla_loss, argnums=(0, 1, 2, 3, 4))(*args)
+    # Global-scale atol: several of these gradients are near-total
+    # cancellations (e.g. dbs: sum_n dlogit == 0 analytically for constant
+    # tau) whose true value is ~0 while the summands are O(100); f32
+    # cancellation noise is proportional to the summand scale, shared
+    # across the tensors. The f64 exactness test below pins the math.
+    scale = max(
+        float(np.max(np.abs(np.asarray(b)))) for b in g_xla
+    )
     for a, b in zip(g_fused, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-3, atol=2e-4)
+                                   rtol=2e-3, atol=2e-5 * scale)
+
+
+def test_custom_vjp_bwd_math_exact_f64():
+    """The hand-derived chunked backward is EXACT: with f64 residuals it
+    matches the XLA-composition gradients to the XLA path's own f32
+    ``preferred_element_type`` ceiling (~1e-7 relative,
+    slice_ops.py:75,96)."""
+    import math as _math
+
+    def f64_states_impl(x, ws, bs, wa, ba, base_temp, epsilon, tile_n):
+        shift = _math.log(-_math.log(epsilon))
+        tau = base_temp + jnp.clip(x @ wa + ba, -0.4, 0.4)
+        logits = (x @ ws + bs - shift) / tau
+        m = jnp.max(logits, axis=2)
+        e = jnp.exp(logits - m[:, :, None, :])
+        s = jnp.sum(e, axis=2)
+        w = e / s[:, :, None, :]
+        states = jnp.einsum("bhnc,bhng->bhgc", x, w) / (1.0 + 1e-5)
+        return states, m, s
+
+    def f64_deslice_impl(x, ws, bs, wa, ba, st, m, s, bt, eps, tn):
+        shift = _math.log(-_math.log(eps))
+        tau = bt + jnp.clip(x @ wa + ba, -0.4, 0.4)
+        logits = (x @ ws + bs - shift) / tau
+        w = jnp.exp(logits - m[:, :, None, :]) / s[:, :, None, :]
+        return jnp.einsum("bhgc,bhng->bhnc", st, w)
+
+    orig = sk._slice_states_impl, sk._deslice_impl
+    sk._slice_states_impl = f64_states_impl
+    sk._deslice_impl = f64_deslice_impl
+    jax.config.update("jax_enable_x64", True)
+    try:
+        if True:
+            rng = np.random.RandomState(3)
+            x = jnp.asarray(rng.randn(1, 2, 64, 8))
+            ws = jnp.asarray(rng.randn(8, 16))
+            bs = jnp.asarray(rng.randn(16))
+            wa = jnp.asarray(rng.randn(8, 1) * 0.3)
+            ba = jnp.asarray(rng.randn(1) * 0.3)
+
+            def fused_loss(x, ws, bs, wa, ba):
+                states, m, s = sk.slice_states(x, ws, bs, wa, ba,
+                                               0.5, 1e-6, 32)
+                out = sk.deslice(x, ws, bs, wa, ba, states * 2.0, m, s,
+                                 0.5, 1e-6, 32)
+                return jnp.sum(out ** 2)
+
+            def ref_loss(x, ws, bs, wa, ba):
+                tau = slice_ops.ada_temp(x @ wa + ba, 0.5)
+                w = slice_ops.rep_slice_weights(x @ ws + bs, tau, 1e-6)
+                states = slice_ops.eidetic_states(x, w)
+                out = slice_ops.deslice(states * 2.0, w)
+                return jnp.sum(out ** 2)
+
+            gf = jax.grad(fused_loss, argnums=(0, 1, 2, 3, 4))(
+                x, ws, bs, wa, ba)
+            gx = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(
+                x, ws, bs, wa, ba)
+            for a, b in zip(gf, gx):
+                scale = float(jnp.max(jnp.abs(b))) or 1.0
+                assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-6
+    finally:
+        jax.config.update("jax_enable_x64", False)
+        sk._slice_states_impl, sk._deslice_impl = orig
 
 
 def test_use_pallas_auto_dispatch_rule():

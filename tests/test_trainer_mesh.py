@@ -175,3 +175,33 @@ def test_dp_cp_combined_mesh_matches_single_device():
     g2 = _grad_tree(t2, batch, mesh, P("dp", "tp"))
     _assert_tree_close(g1, g2, rtol=1e-5, atol=1e-6)
     _assert_params_close(s1.params, s2.params, g1)
+
+
+def test_train_steps_scan_under_mesh_matches_sequential():
+    """K scanned steps in ONE sharded device program == K dispatched
+    train_step calls on the same dp mesh (same rng split sequence)."""
+    mesh = make_mesh(n_dp=8, n_tp=1)
+    t1, batch = _setup(mesh=mesh)
+    batches = [
+        {k: v + 0.01 * i for k, v in batch.items()} for i in range(3)
+    ]
+    rng = jax.random.PRNGKey(7)
+    s1 = t1.init_state(jax.random.PRNGKey(0), batches[0])
+    s1, metrics = t1.train_steps(s1, batches, rng)
+    assert metrics["loss"].shape == (3,)
+
+    t2, _ = _setup(mesh=mesh)
+    s2 = t2.init_state(jax.random.PRNGKey(0), batches[0])
+    r = rng
+    seq = []
+    for b in batches:
+        r, sub = jax.random.split(r)
+        s2, m = t2.train_step(s2, b, sub)
+        seq.append(float(m["loss"]))
+    assert int(s1.step) == int(s2.step) == 3
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), np.asarray(seq),
+                               rtol=1e-5, atol=1e-7)
+    # scanned vs per-step programs compile (and fuse) differently; the
+    # usual post-Adam noise rules apply, including the no-signal mask
+    g1 = _grad_tree(t2, batches[0], mesh, P("dp"))
+    _assert_params_close(s1.params, s2.params, g1)
