@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run_probe(num_points: int, use_pallas: bool, bf16: bool = True,
-              grad: bool = False):
+              grad: bool = False, slice_num: int = 32):
     """One forward (or fwd+bwd when ``grad``) at N points; prints a JSON
     line; exits 0 on success."""
     from haet_tpu.utils.env import apply_platform_override
@@ -46,7 +46,7 @@ def run_probe(num_points: int, use_pallas: bool, bf16: bool = True,
 
     model = HAETransolverIrregularMesh(
         space_dim=3, fun_dim=1, out_dim=1, n_layers=1, n_hidden=256,
-        n_head=8, slice_num=32, mlp_ratio=2, rotate=45,
+        n_head=8, slice_num=slice_num, mlp_ratio=2, rotate=45,
         use_pallas=use_pallas,
         dtype=jnp.bfloat16 if bf16 else None,
     )
@@ -77,6 +77,7 @@ def run_probe(num_points: int, use_pallas: bool, bf16: bool = True,
         "num_points": num_points,
         "pallas": use_pallas,
         "grad": grad,
+        "slice_num": slice_num,
         "ok": ok,
         "first_call_seconds": round(dt, 2),
         "peak_memory_mb": round(peak / 2**20, 1) if peak else None,
@@ -86,11 +87,11 @@ def run_probe(num_points: int, use_pallas: bool, bf16: bool = True,
 
 
 def probe_subprocess(num_points: int, use_pallas: bool,
-                     grad: bool = False) -> dict:
+                     grad: bool = False, slice_num: int = 32) -> dict:
     """Fresh-process probe; returns the parsed JSON record or an OOM mark."""
     cmd = [sys.executable, os.path.abspath(__file__),
            "--probe", str(num_points), "--pallas", str(int(use_pallas)),
-           "--grad", str(int(grad))]
+           "--grad", str(int(grad)), "--slice_num", str(slice_num)]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=1800)
@@ -114,12 +115,13 @@ def probe_subprocess(num_points: int, use_pallas: bool,
                            else f"rc={proc.returncode}")}
 
 
-def find_max_n(use_pallas: bool, start: int, limit: int, log, grad=False):
+def find_max_n(use_pallas: bool, start: int, limit: int, log, grad=False,
+               slice_num=32):
     """Double until failure, then bisect."""
     n = start
     last_ok, first_bad = None, None
     while n <= limit:
-        rec = probe_subprocess(n, use_pallas, grad)
+        rec = probe_subprocess(n, use_pallas, grad, slice_num)
         log(rec)
         if rec.get("ok"):
             last_ok = n
@@ -134,7 +136,7 @@ def find_max_n(use_pallas: bool, start: int, limit: int, log, grad=False):
     lo, hi = last_ok, first_bad
     while hi - lo > max(lo // 5, 1 << 16):
         mid = (lo + hi) // 2
-        rec = probe_subprocess(mid, use_pallas, grad)
+        rec = probe_subprocess(mid, use_pallas, grad, slice_num)
         log(rec)
         if rec.get("ok"):
             lo = mid
@@ -147,6 +149,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--probe", type=int, default=None)
     p.add_argument("--pallas", type=int, default=0)
+    p.add_argument("--slice_num", type=int, default=32)
     p.add_argument("--grad", type=int, default=0,
                    help="probe fwd+bwd (the training memory claim) instead "
                         "of forward-only")
@@ -157,7 +160,7 @@ def main():
 
     if args.probe is not None:
         sys.exit(run_probe(args.probe, bool(args.pallas),
-                           grad=bool(args.grad)))
+                           grad=bool(args.grad), slice_num=args.slice_num))
 
     records = []
 
@@ -166,12 +169,15 @@ def main():
         print(json.dumps(rec), flush=True)
 
     max_xla, xla_oomed = find_max_n(False, args.start, args.limit, log,
-                                    grad=bool(args.grad))
+                                    grad=bool(args.grad),
+                                    slice_num=args.slice_num)
     max_pallas, pallas_oomed = find_max_n(True, args.start, args.limit, log,
-                                          grad=bool(args.grad))
+                                          grad=bool(args.grad),
+                                          slice_num=args.slice_num)
     summary = {
         "summary": True,
         "grad": bool(args.grad),
+        "slice_num": args.slice_num,
         "max_points_xla": max_xla,
         "max_points_pallas": max_pallas,
         "xla_hit_oom": xla_oomed,

@@ -147,7 +147,7 @@ class _HAETBase(nn.Module):
     grouping: str = "median"
     orthogonal_slice_init: bool = True
     use_pallas: bool | str = False  # False | True | "auto" (N-threshold)
-    pallas_auto_threshold: int = 2_000_000
+    pallas_auto_threshold: int = 1_700_000
     use_pallas_erwin: bool = False
     # Head tensor parallelism: (batch_axis, head_axis) mesh axis names,
     # e.g. ("dp", "tp"). See PhysicsAttention.shard_axes.

@@ -80,10 +80,11 @@ class _PhysicsAttentionBase(nn.Module):
     # "auto" switches to the fused path when N >= pallas_auto_threshold on
     # a TPU backend — the kernels are a *memory* feature (they avoid
     # materializing the [B, H, N, G] weights in HBM) and are slower at
-    # small N (docs/benchmarks.md); the threshold comes from the measured
+    # small N (docs/benchmarks.md); the default threshold is 0.75x the
+    # measured XLA fwd+bwd OOM boundary at G=32 (2.25M points) from the
     # max-N-before-OOM crossover (benchmarks/pallas_mem_sweep.py).
     use_pallas: bool | str = False
-    pallas_auto_threshold: int = 2_000_000
+    pallas_auto_threshold: int = 1_700_000
     use_pallas_erwin: bool = False  # fused Erwin-block kernel (TPU only)
     # Tensor parallelism over attention heads: mesh axis names
     # ``(batch_axis, head_axis)``. When set, the ``[B, H, N, *]``

@@ -51,7 +51,7 @@ class ModelConfig:
     use_dist_bias: bool = True
     grouping: str = "median"
     use_pallas: bool | str = False  # False | True | "auto"
-    pallas_auto_threshold: int = 2_000_000
+    pallas_auto_threshold: int = 1_700_000
     bf16: bool = False
     # Head tensor parallelism: (batch_axis, head_axis) mesh axis names,
     # e.g. ("dp", "tp"); requires tracing under an active Mesh context.
