@@ -74,6 +74,7 @@ def evaluate(trainer, state, samples, coef, logger=None):
     from haet_tpu.data.car_metrics import drag_coefficient, spearman_rho
 
     rel_p, rel_v, times = [], [], []
+    mses_p, mses_v = [], []
     cd_pred, cd_gt = [], []
     for s in samples:
         batch = make_batch(s)
@@ -94,15 +95,24 @@ def evaluate(trainer, state, samples, coef, logger=None):
             np.linalg.norm(od[ext, :3] - yd[ext, :3])
             / (np.linalg.norm(yd[ext, :3]) + 1e-12)
         )
+        # normalized-scale MSEs, denormalized to RMSE at the end
+        # (reference main_evaluation.py:314-315,346-350)
+        mses_p.append(np.mean((out[surf, 3] - s.y[surf, 3]) ** 2))
+        mses_v.append(np.mean((out[ext, :3] - s.y[ext, :3]) ** 2, axis=0))
         if s.quads is not None and s.surf_slice is not None:
             pts = s.pos[s.surf_slice]
             cd_pred.append(drag_coefficient(
                 pts, s.quads, od[s.surf_slice, 3], od[s.surf_slice, :3]))
             cd_gt.append(drag_coefficient(
                 pts, s.quads, yd[s.surf_slice, 3], yd[s.surf_slice, :3]))
+    std_out = np.asarray(coef.std_out).reshape(-1)
+    rmse_velo_var = np.sqrt(np.mean(mses_v, axis=0)) * std_out[:3]
     metrics = {
         "rel_l2_press": float(np.mean(rel_p)),
         "rel_l2_velo": float(np.mean(rel_v)),
+        # denormalized RMSEs (reference "press:" / "velo:" lines)
+        "rmse_press": float(np.sqrt(np.mean(mses_p)) * std_out[3]),
+        "rmse_velo": float(np.sqrt(np.mean(rmse_velo_var ** 2))),
         "time_per_sample": float(np.mean(times)),
     }
     if cd_gt:
@@ -180,6 +190,8 @@ def main(args):
     metrics = evaluate(trainer, state, val_s, coef, logger)
     print("relative l2 error press:", metrics["rel_l2_press"])
     print("relative l2 error velo:", metrics["rel_l2_velo"])
+    print("press:", metrics["rmse_press"])
+    print("velo:", metrics["rmse_velo"])
     if "rho_d" in metrics:
         print("rho_d:", metrics["rho_d"], "c_d:", metrics["cd_rel_err"])
     print("time:", metrics["time_per_sample"])
