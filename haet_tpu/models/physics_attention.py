@@ -77,12 +77,14 @@ class _PhysicsAttentionBase(nn.Module):
     grouping: str = "median"
     orthogonal_slice_init: bool = True
     # Fused slice/deslice kernels (TPU only). False | True | "auto":
-    # "auto" switches to the fused path when N >= pallas_auto_threshold on
-    # a TPU backend — the kernels are a *memory* feature (they avoid
+    # "auto" switches to the fused path when N >= the effective threshold
+    # on a TPU backend — the kernels are a *memory* feature (they avoid
     # materializing the [B, H, N, G] weights in HBM) and are slower at
-    # small N (docs/benchmarks.md); the default threshold is 0.75x the
-    # measured XLA fwd+bwd OOM boundary at G=32 (2.25M points) from the
-    # max-N-before-OOM crossover (benchmarks/pallas_mem_sweep.py).
+    # small N (docs/benchmarks.md). `pallas_auto_threshold` is the G=32
+    # base (0.75x the measured XLA fwd+bwd OOM boundary, 2.25M points on
+    # one v5e); the effective threshold interpolates the measured
+    # G-dependence (XLA boundary 1.5M at G=128) — see _pallas_enabled.
+    # Measurements: benchmarks/pallas_mem_sweep.py --grad.
     use_pallas: bool | str = False
     pallas_auto_threshold: int = 1_700_000
     use_pallas_erwin: bool = False  # fused Erwin-block kernel (TPU only)
@@ -145,10 +147,14 @@ class _PhysicsAttentionBase(nn.Module):
     def _pallas_enabled(self, n_points: int) -> bool:
         """Resolve the use_pallas tri-state at trace time (N is static)."""
         if self.use_pallas == "auto":
-            return (
-                n_points >= self.pallas_auto_threshold
-                and jax.default_backend() == "tpu"
-            )
+            # The XLA path's training OOM boundary shrinks with G (the
+            # saved weight tensor is [B,H,N,G]): measured 2.25M @ G=32 and
+            # 1.5M @ G=128 on one v5e (pallas_mem_sweep.py --grad), i.e. a
+            # factor (1 - (G-32)/288) linearly. Scale the base threshold
+            # by the same factor, floored at 1/4.
+            scale = max(0.25, 1.0 - (self.slice_num - 32) / 288.0)
+            eff = int(self.pallas_auto_threshold * scale)
+            return n_points >= eff and jax.default_backend() == "tpu"
         return bool(self.use_pallas)
 
     @nn.compact

@@ -176,3 +176,26 @@ def test_use_pallas_auto_dispatch_rule():
     explicit = PhysicsAttentionIrregularMesh(
         dim=32, heads=4, dim_head=8, slice_num=16, use_pallas=True)
     assert explicit._pallas_enabled(1) is True
+
+
+def test_use_pallas_auto_threshold_scales_with_g():
+    """The effective auto threshold shrinks with slice_num following the
+    measured XLA training-OOM boundaries (2.25M @ G=32 -> 1.5M @ G=128)."""
+    from haet_tpu.models.physics_attention import PhysicsAttentionIrregularMesh
+
+    def eff(g):
+        a = PhysicsAttentionIrregularMesh(
+            dim=32, heads=4, dim_head=8, slice_num=g, use_pallas="auto",
+            pallas_auto_threshold=1_700_000,
+        )
+        scale = max(0.25, 1.0 - (g - 32) / 288.0)
+        expected = int(1_700_000 * scale)
+        # boundary behavior around the expected threshold
+        on_tpu = jax.default_backend() == "tpu"
+        assert a._pallas_enabled(expected - 1) is False
+        assert a._pallas_enabled(expected) is on_tpu
+        return expected
+
+    assert eff(32) == 1_700_000
+    assert eff(128) == 1_133_333          # ~0.75 x measured 1.5M boundary
+    assert eff(512) == 425_000            # floored at 1/4

@@ -205,3 +205,50 @@ def test_train_steps_scan_under_mesh_matches_sequential():
     # usual post-Adam noise rules apply, including the no-signal mask
     g1 = _grad_tree(t2, batches[0], mesh, P("dp"))
     _assert_params_close(s1.params, s2.params, g1)
+
+
+def test_make_mesh_from_args_validation():
+    """Driver --dp/--tp glue: mesh construction, head-TP enablement, and
+    the clear errors for indivisible head counts / batch sizes."""
+    import os
+    import sys
+    import types
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    from _common import make_mesh_from_args
+
+    from haet_tpu.utils.config import ModelConfig, TrainConfig
+
+    class Cfg:
+        pass
+
+    def cfg(n_head=4, batch_size=8):
+        c = Cfg()
+        c.model = ModelConfig(n_head=n_head)
+        c.train = TrainConfig(batch_size=batch_size)
+        return c
+
+    args = types.SimpleNamespace(dp=0, tp=1)
+    assert make_mesh_from_args(cfg(), args) is None  # no mesh requested
+
+    args = types.SimpleNamespace(dp=4, tp=2)
+    c = cfg()
+    mesh = make_mesh_from_args(c, args)
+    assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+    assert c.model.shard_axes == ("dp", "tp")
+
+    args = types.SimpleNamespace(dp=0, tp=2)  # tp-only -> dp=1
+    c = cfg(batch_size=1)
+    mesh = make_mesh_from_args(c, args)
+    assert dict(mesh.shape) == {"dp": 1, "tp": 2}
+
+    with pytest.raises(SystemExit, match="divide n_heads"):
+        make_mesh_from_args(cfg(n_head=3), types.SimpleNamespace(dp=2, tp=2))
+    with pytest.raises(SystemExit, match="divisible by the"):
+        make_mesh_from_args(cfg(batch_size=3),
+                            types.SimpleNamespace(dp=2, tp=1))
+    with pytest.raises(SystemExit, match="devices"):
+        make_mesh_from_args(cfg(), types.SimpleNamespace(dp=64, tp=2))
