@@ -10,7 +10,11 @@ sequentially-timed variants are not comparable (see docs/benchmarks.md,
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +75,11 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=32768)
+    ap.add_argument("--slice_num", type=int, default=32)
+    ap.add_argument("--n_layers", type=int, default=2)
+    ap.add_argument("--n_hidden", type=int, default=256)
+    ap.add_argument("--variants", type=str, default="all",
+                    help="comma list: baseline,pallas-tokenizer,pallas-erwin")
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -83,11 +92,15 @@ def main():
         "pallas-tokenizer": {"use_pallas": True},
         "pallas-erwin": {"use_pallas_erwin": True},
     }
+    if args.variants != "all":
+        keep = set(args.variants.split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
     runs = {}
     for name, kw in variants.items():
         model = HAETransolverIrregularMesh(
-            space_dim=7, fun_dim=0, out_dim=4, n_layers=2, n_hidden=256,
-            n_head=8, slice_num=32, mlp_ratio=2, rotate=45,
+            space_dim=7, fun_dim=0, out_dim=4, n_layers=args.n_layers,
+            n_hidden=args.n_hidden, n_head=8, slice_num=args.slice_num,
+            mlp_ratio=2, rotate=45,
             dtype=jnp.bfloat16 if on_tpu else None, **kw)
         runs[name] = make_runs(model, x, y)
         print(f"compiled {name}", flush=True)
