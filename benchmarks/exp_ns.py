@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import os
 
-from _common import apply_model_args, base_parser, shrink_for_smoke
+from _common import (apply_model_args, base_parser, make_mesh_from_args,
+                     shrink_for_smoke)
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,7 @@ T_IN, T_OUT, STEP = 10, 10, 1
 
 def main(args):
     cfg = apply_model_args(ns_config(), args)
+    mesh = make_mesh_from_args(cfg, args)
     data = load_ns(args.data_path, args.ntrain, args.ntest, T_IN, T_OUT)
     if data["synthetic"]:
         print("[ns] dataset not found -> synthetic stand-in data")
@@ -80,9 +82,12 @@ def main(args):
     tx = make_optimizer(cfg.train, steps * cfg.train.epochs)
 
     sample = {k: v[:bs] for k, v in train.items()}
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(cfg.train.seed), sample["pos"], sample["x"]
-    )
+    import contextlib
+    with (mesh if mesh is not None else contextlib.nullcontext()):
+        # TP sharding constraints need the mesh at trace time
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(cfg.train.seed), sample["pos"], sample["x"]
+        )
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],
         batch_stats=variables.get("batch_stats", FrozenDict()),
@@ -90,6 +95,23 @@ def main(args):
     )
     n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
     print(f"Total Trainable Params: {n_params}")
+
+    # dp/tp sharding for the custom rollout loop: replicate state, shard
+    # batches over dp, and trace/execute under the mesh context (required
+    # by the model's TP constraints when --tp > 1).
+    mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
+    if mesh is not None:
+        from haet_tpu.parallel.mesh import replicate
+
+        state = jax.device_put(state, replicate(mesh))
+
+    def place(batch):
+        if mesh is None:
+            return batch
+        from haet_tpu.parallel.mesh import batch_sharding
+
+        return {k: jax.device_put(v, batch_sharding(mesh))
+                for k, v in batch.items()}
 
     @jax.jit
     def train_step(state, batch, rng):
@@ -120,11 +142,13 @@ def main(args):
         step_losses, full_losses = [], []
         for batch in batch_iter(train, bs, True, ep)():
             rng, sub = jax.random.split(rng)
-            state, l, f = train_step(state, batch, sub)
+            with mesh_ctx():
+                state, l, f = train_step(state, place(batch), sub)
             step_losses.append(float(l))
             full_losses.append(float(f))
-        evs = [float(eval_step(state, b))
-               for b in batch_iter(test, bs, False)()]
+        with mesh_ctx():
+            evs = [float(eval_step(state, place(b)))
+                   for b in batch_iter(test, bs, False)()]
         logger.log({
             "epoch": ep,
             "train/l2_step": float(np.mean(step_losses)),
@@ -135,8 +159,9 @@ def main(args):
         ckpt.save_best(state, float(np.mean(evs)), ep)
         ckpt.save_last(state, ep)
     ckpt.wait()
-    rel = float(np.mean([float(eval_step(state, b))
-                         for b in batch_iter(test, bs, False)()]))
+    with mesh_ctx():
+        rel = float(np.mean([float(eval_step(state, place(b)))
+                             for b in batch_iter(test, bs, False)()]))
     print(f"rel_err:{rel}")
     return rel
 

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import os
 
-from _common import apply_model_args, base_parser, shrink_for_smoke
+from _common import (apply_model_args, base_parser, make_mesh_from_args,
+                     shrink_for_smoke)
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,7 @@ from haet_tpu.utils.config import plasticity_config
 
 def main(args):
     cfg = apply_model_args(plasticity_config(), args)
+    mesh = make_mesh_from_args(cfg, args)
     data = load_plasticity(args.data_path, args.ntrain, args.ntest)
     if data["synthetic"]:
         print("[plasticity] dataset not found -> synthetic stand-in data")
@@ -84,10 +86,13 @@ def main(args):
     steps = max(1, len(train["y"]) // bs)
     tx = make_optimizer(cfg.train, steps * cfg.train.epochs)
     sample = {k: v[:bs] for k, v in train.items()}
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(cfg.train.seed), sample["pos"], sample["fx"],
-        jnp.zeros((sample["pos"].shape[0], 1)),
-    )
+    import contextlib
+    with (mesh if mesh is not None else contextlib.nullcontext()):
+        # TP sharding constraints need the mesh at trace time
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(cfg.train.seed), sample["pos"], sample["fx"],
+            jnp.zeros((sample["pos"].shape[0], 1)),
+        )
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],
         batch_stats=variables.get("batch_stats", FrozenDict()),
@@ -95,6 +100,21 @@ def main(args):
     )
     n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
     print(f"Total Trainable Params: {n_params}")
+
+    # dp/tp sharding for the custom loop (see exp_ns.py)
+    mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
+    if mesh is not None:
+        from haet_tpu.parallel.mesh import replicate
+
+        state = jax.device_put(state, replicate(mesh))
+
+    def place(batch):
+        if mesh is None:
+            return batch
+        from haet_tpu.parallel.mesh import batch_sharding
+
+        return {k: jax.device_put(v, batch_sharding(mesh))
+                for k, v in batch.items()}
 
     @jax.jit
     def train_step(state, batch, rng):
@@ -121,10 +141,12 @@ def main(args):
         losses = []
         for batch in batch_iter(train, bs, True, ep)():
             rng, sub = jax.random.split(rng)
-            state, l = train_step(state, batch, sub)
+            with mesh_ctx():
+                state, l = train_step(state, place(batch), sub)
             losses.append(float(l))
-        evs = [float(eval_step(state, b))
-               for b in batch_iter(test, bs, False)()]
+        with mesh_ctx():
+            evs = [float(eval_step(state, place(b)))
+                   for b in batch_iter(test, bs, False)()]
         logger.log({
             "epoch": ep, "train/rel_l2": float(np.mean(losses)),
             "val/rel_l2": float(np.mean(evs)),
@@ -133,8 +155,9 @@ def main(args):
         ckpt.save_best(state, float(np.mean(evs)), ep)
         ckpt.save_last(state, ep)
     ckpt.wait()
-    rel = float(np.mean([float(eval_step(state, b))
-                         for b in batch_iter(test, bs, False)()]))
+    with mesh_ctx():
+        rel = float(np.mean([float(eval_step(state, place(b)))
+                             for b in batch_iter(test, bs, False)()]))
     print(f"rel_err:{rel}")
     return rel
 

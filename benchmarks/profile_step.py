@@ -8,7 +8,11 @@ tunnel dispatch/fetch RTT.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -70,9 +74,13 @@ def main():
     rng = np.random.RandomState(0)
 
     # ---- full train step -------------------------------------------------
+    # the exact vendored car config (1,757,190 params; see
+    # shapenet_car_config)
     model = HAETransolverIrregularMesh(
         space_dim=7, fun_dim=0, out_dim=4, n_layers=2, n_hidden=256,
-        n_head=8, slice_num=32, mlp_ratio=2, rotate=45, dtype=dt)
+        n_head=8, slice_num=32, mlp_ratio=2, rotate=45,
+        enc_num_heads=(8, 8), enc_depths=(4, 4), dec_num_heads=(8,),
+        dec_depths=(4,), erwin_mlp_ratio=4, embed=True, dtype=dt)
     x = jnp.asarray(rng.randn(1, N, 7).astype(np.float32))
     y = jnp.asarray(rng.randn(1, N, 4).astype(np.float32))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, None)
