@@ -177,3 +177,118 @@ def build_balltree_with_rotations(data: np.ndarray, batch_idx: np.ndarray,
             rotated = rotated.reshape(-1, s, dim).mean(axis=1)
             cur_batch = cur_batch[::s]
     return tree_idx, tree_mask, rot_indices
+
+
+# ---------------------------------------------------------------------------
+# Native legacy-VTK reader (vtkread.cpp) — the C++ data-loader path for the
+# ShapeNet-Car pipeline (reference loads via the VTK library,
+# dataset.py:161-181; the numpy fallback lives in haet_tpu/data/vtk_io.py).
+# ---------------------------------------------------------------------------
+
+_VTK_SRC = os.path.join(_HERE, "vtkread.cpp")
+_VTK_LIB = os.path.join(_HERE, "libvtkread.so")
+_vtk_lib = None
+
+
+def get_vtk_lib():
+    """Load (compiling if needed) the native VTK reader library."""
+    global _vtk_lib
+    with _lock:
+        if _vtk_lib is not None:
+            return _vtk_lib
+        if (not os.path.exists(_VTK_LIB)
+                or os.path.getmtime(_VTK_LIB) < os.path.getmtime(_VTK_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                 _VTK_SRC, "-o", _VTK_LIB],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_VTK_LIB)
+        lib.haet_vtk_parse.restype = ctypes.c_void_p
+        lib.haet_vtk_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.haet_vtk_free.argtypes = [ctypes.c_void_p]
+        for name in ("num_points", "num_cells", "cells_flat_size",
+                     "num_cell_types"):
+            fn = getattr(lib, f"haet_vtk_{name}")
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.haet_vtk_num_fields.restype = ctypes.c_int64
+        lib.haet_vtk_num_fields.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.haet_vtk_field_name.restype = ctypes.c_char_p
+        lib.haet_vtk_field_name.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64]
+        for name in ("field_size", "field_ncomp"):
+            fn = getattr(lib, f"haet_vtk_{name}")
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int64]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.haet_vtk_get_points.argtypes = [ctypes.c_void_p, f32p]
+        lib.haet_vtk_get_cell_sizes.argtypes = [ctypes.c_void_p, i64p]
+        lib.haet_vtk_get_cell_index.argtypes = [ctypes.c_void_p, i64p]
+        lib.haet_vtk_get_cell_types.argtypes = [ctypes.c_void_p, i64p]
+        lib.haet_vtk_get_field.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, f32p]
+        _vtk_lib = lib
+        return _vtk_lib
+
+
+def vtk_parse(raw: bytes) -> dict:
+    """Parse a legacy .vtk buffer natively.
+
+    Returns a dict with ``points [n,3] f32``, ``cell_sizes`` /
+    ``cell_flat`` (compact connectivity), ``cell_types [m] i64`` (or
+    None), ``point_data`` / ``cell_data`` (name -> [n, ncomp] f32) — the
+    same content contract as :func:`haet_tpu.data.vtk_io.read_vtk_legacy`.
+    """
+    lib = get_vtk_lib()
+    h = lib.haet_vtk_parse(raw, len(raw))
+    if not h:
+        raise ValueError("native VTK parse failed")
+    try:
+        n = lib.haet_vtk_num_points(h)
+        points = np.empty((n, 3), np.float32)
+        if n:
+            lib.haet_vtk_get_points(
+                h, points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+
+        m = lib.haet_vtk_num_cells(h)
+        sizes = np.empty(m, np.int64)
+        flat = np.empty(lib.haet_vtk_cells_flat_size(h), np.int64)
+        if m:
+            lib.haet_vtk_get_cell_sizes(
+                h, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            lib.haet_vtk_get_cell_index(
+                h, flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+
+        nt = lib.haet_vtk_num_cell_types(h)
+        cell_types = None
+        if nt:
+            cell_types = np.empty(nt, np.int64)
+            lib.haet_vtk_get_cell_types(
+                h, cell_types.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+
+        def fields(point_data: int) -> dict:
+            out = {}
+            for i in range(lib.haet_vtk_num_fields(h, point_data)):
+                name = lib.haet_vtk_field_name(h, point_data, i).decode()
+                size = lib.haet_vtk_field_size(h, point_data, i)
+                ncomp = lib.haet_vtk_field_ncomp(h, point_data, i)
+                arr = np.empty(size, np.float32)
+                if size:
+                    lib.haet_vtk_get_field(
+                        h, point_data, i,
+                        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+                out[name] = arr.reshape(-1, ncomp)
+            return out
+
+        return {
+            "points": points,
+            "cell_sizes": sizes,
+            "cell_flat": flat,
+            "cell_types": cell_types,
+            "point_data": fields(1),
+            "cell_data": fields(0),
+        }
+    finally:
+        lib.haet_vtk_free(h)

@@ -172,3 +172,49 @@ def test_visualize_car_and_slices(tmp_path):
     assert "slice_2_sample_0.png" not in files  # capped
     for plane in ("xy", "xz", "yz"):
         assert f"projection_{plane}_0.png" in files
+
+
+def test_native_vtk_reader_matches_python():
+    """The C++ reader (native/vtkread.cpp) parses the committed fixture
+    pair — ASCII quads + big-endian binary vectors — identically to the
+    numpy parser."""
+    sample_dir = os.path.join(DATA, "car", "param0", "fixturecar000")
+    for fn in ("quadpress_smpl.vtk", "hexvelo_smpl.vtk"):
+        path = os.path.join(sample_dir, fn)
+        py = read_vtk_legacy(path, use_native=False)
+        nat = read_vtk_legacy(path, use_native=True)
+        np.testing.assert_array_equal(nat.points, py.points)
+        assert len(nat.cells) == len(py.cells)
+        for a, b in zip(nat.cells, py.cells):
+            np.testing.assert_array_equal(a, b)
+        if py.cell_types is not None:
+            np.testing.assert_array_equal(nat.cell_types, py.cell_types)
+        assert set(nat.point_data) == set(py.point_data)
+        for k in py.point_data:
+            np.testing.assert_allclose(nat.point_data[k], py.point_data[k],
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_native_vtk_reader_through_car_pipeline():
+    """load_sample (which uses the auto native path) on the fixture gives
+    the identical CarSample as the forced-python path."""
+    import haet_tpu.data.vtk_io as vio
+
+    sample_dir = os.path.join(DATA, "car", "param0", "fixturecar000")
+    s_auto = shapenet_car.load_sample(sample_dir, "x")
+
+    orig = vio.read_vtk_legacy
+    try:
+        vio.read_vtk_legacy = lambda p, use_native="auto": orig(
+            p, use_native=False)
+        import importlib
+        importlib.reload(shapenet_car)
+        s_py = shapenet_car.load_sample(sample_dir, "x")
+    finally:
+        vio.read_vtk_legacy = orig
+        importlib.reload(shapenet_car)
+
+    np.testing.assert_array_equal(s_auto.pos, s_py.pos)
+    np.testing.assert_allclose(s_auto.x, s_py.x, atol=1e-6)
+    np.testing.assert_allclose(s_auto.y, s_py.y, atol=1e-6)
+    np.testing.assert_array_equal(s_auto.surf, s_py.surf)
