@@ -182,8 +182,15 @@ def main(args):
         for s in val_s:
             yield make_batch(s)
 
+    from haet_tpu.data import Prefetcher
+
     state = trainer.fit(
-        state, train_batches, eval_batches,
+        state,
+        # overlap host-side batch assembly (padding etc.) with the device
+        # step — the reference's DataLoader-worker analogue
+        Prefetcher(train_batches, depth=args.prefetch) if args.prefetch
+        else train_batches,
+        eval_batches,
         logger=logger, checkpointer=ckpt,
     )
 
@@ -213,6 +220,8 @@ if __name__ == "__main__":
     p.add_argument("--slice_num", type=int, default=32)
     p.add_argument("--bf16", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="./runs")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="background batch prefetch depth (0 disables)")
     from _common import add_mesh_args
     add_mesh_args(p)
     p.add_argument("--resume", action="store_true")

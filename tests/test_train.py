@@ -255,3 +255,45 @@ def test_periodic_checkpoints_and_keep(tmp_path):
     # epoch_3 restorable by name too
     assert ck.restore(template, "epoch_3") is not None
     assert ck.restore(template, "epoch_0") is None
+
+
+def test_prefetcher_matches_plain_iteration():
+    """Prefetcher preserves order/content across multiple passes and
+    propagates producer exceptions."""
+    import pytest
+
+    from haet_tpu.data import Prefetcher, batch_iter
+
+    d = _data(32)
+    plain = batch_iter(d, 8, True, 3)
+    pre = Prefetcher(batch_iter(d, 8, True, 3), depth=2)
+    for _ in range(2):  # multi-epoch reuse
+        a = list(plain())
+        b = list(pre())
+        assert len(a) == len(b) == 4
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["x"], y["x"])
+            np.testing.assert_array_equal(x["y"], y["y"])
+
+    def boom():
+        yield {"x": 1}
+        raise RuntimeError("producer died")
+
+    with pytest.raises(RuntimeError, match="producer died"):
+        list(Prefetcher(boom)())
+
+
+def test_trainer_fit_with_prefetcher():
+    from haet_tpu.data import Prefetcher, batch_iter
+    from haet_tpu.train import MetricsLogger
+
+    trainer = _make_trainer()
+    d = _data(32)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in d.items()})
+    state = trainer.fit(
+        state, Prefetcher(batch_iter(d, 8, True, 0)), epochs=3,
+        logger=MetricsLogger(echo=False),
+    )
+    final = float(trainer.eval_step(state, d)["loss"])
+    assert np.isfinite(final)
