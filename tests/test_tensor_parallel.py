@@ -113,3 +113,29 @@ def test_tp_without_mesh_context_unchanged(setup):
     model_ref, _, variables, x, _, _ = setup
     out = jax.jit(lambda v, x: model_ref.apply(v, x, None))(variables, x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tp_structured_2d_matches_replicated():
+    """Head TP through the Conv-projection (structured 2D) variant too —
+    the conv runs per-batch-row, the head split happens at the reshape."""
+    from haet_tpu.models import HAETransolverStructuredMesh2D
+
+    kw = dict(space_dim=2, fun_dim=1, out_dim=1, n_layers=1, n_hidden=32,
+              n_head=4, slice_num=16, mlp_ratio=1, rotate=0, H=16, W=16)
+    model_ref = HAETransolverStructuredMesh2D(**kw)
+    model_tp = HAETransolverStructuredMesh2D(shard_axes=("dp", "tp"), **kw)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 256, 2).astype(np.float32))
+    fx = jnp.asarray(rng.randn(4, 256, 1).astype(np.float32))
+    v = jax.jit(model_ref.init)(jax.random.PRNGKey(0), x, fx)
+    out_ref = jax.jit(lambda v, x, fx: model_ref.apply(v, x, fx))(v, x, fx)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("dp", "tp"))
+    vs = jax.device_put(v, NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    fxs = jax.device_put(fx, NamedSharding(mesh, P("dp")))
+    with mesh:
+        out_tp = jax.jit(lambda v, x, fx: model_tp.apply(v, x, fx))(
+            vs, xs, fxs)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
