@@ -5,3 +5,4 @@ python benchmarks/exp_elas.py \
   --epochs 500 --lr 1e-3 --batch-size 1 \
   --n-hidden 128 --n-layers 8 --n-heads 8 --slice_num 64 \
   --out_dir runs/elas
+# multi-chip: append --dp N (data parallel; batch %% N == 0) and/or --tp N (head tensor parallel; n_heads %% N == 0)
