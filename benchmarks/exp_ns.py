@@ -41,37 +41,44 @@ def main(args):
     rel_l2 = RelLpLoss(size_average=False)
     bs = cfg.train.batch_size
 
-    # Teacher-forced multi-step loss: one jitted step covers the whole
-    # rollout (the reference's python loop re-runs the compiled graph per
-    # frame; here lax unrolls it inside a single XLA program).
+    # Teacher-forced multi-step loss: the whole rollout is ONE jitted
+    # program with the step body under ``lax.scan`` — the reference's
+    # python loop re-runs the compiled graph per frame; a python-unrolled
+    # jit (10x the graph) took 25+ min to compile at the full preset.
     def rollout_loss(params, batch_stats, batch, train_mode, rng):
-        fx = batch["x"]
+        fx0 = batch["x"]
         yy = batch["y"]
-        loss = 0.0
-        preds = []
-        for t in range(0, T_OUT, STEP):
-            y = yy[..., t:t + STEP]
+        b, n, _ = yy.shape
+        n_steps = T_OUT // STEP
+        # [B, N, T_OUT] -> [n_steps, B, N, STEP]
+        ys = jnp.moveaxis(yy.reshape(b, n, n_steps, STEP), 2, 0)
+
+        def body(carry, y):
+            fx, bs, loss = carry
             variables = {"params": params}
-            if jax.tree_util.tree_leaves(batch_stats):
-                variables["batch_stats"] = batch_stats
+            if jax.tree_util.tree_leaves(bs):
+                variables["batch_stats"] = bs
                 im, upd = model.apply(
                     variables, batch["pos"], fx, train=train_mode,
                     mutable=["batch_stats"],
                     rngs={"dropout": rng} if train_mode else {},
                 )
-                batch_stats = upd["batch_stats"]
+                bs = upd["batch_stats"]
             else:
-                im = model.apply(variables, batch["pos"], fx, train=train_mode)
+                im = model.apply(variables, batch["pos"], fx,
+                                 train=train_mode)
             loss = loss + rel_l2(
-                im.reshape(im.shape[0], -1), y.reshape(y.shape[0], -1)
-            ) / im.shape[0]
-            preds.append(im)
+                im.reshape(b, -1), y.reshape(b, -1)
+            ) / b
             nxt = y if train_mode else im  # teacher forcing vs autoregressive
             fx = jnp.concatenate([fx[..., STEP:], nxt], axis=-1)
-        pred = jnp.concatenate(preds, axis=-1)
-        full = rel_l2(
-            pred.reshape(pred.shape[0], -1), yy.reshape(yy.shape[0], -1)
-        ) / pred.shape[0]
+            return (fx, bs, loss), im
+
+        (fx, batch_stats, loss), preds = jax.lax.scan(
+            body, (fx0, batch_stats, jnp.zeros((), jnp.float32)), ys
+        )
+        pred = jnp.moveaxis(preds, 0, 2).reshape(b, n, T_OUT)
+        full = rel_l2(pred.reshape(b, -1), yy.reshape(b, -1)) / b
         return loss, full, batch_stats
 
     import optax
