@@ -32,6 +32,9 @@ def base_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--ntrain", type=int, default=1000)
     p.add_argument("--ntest", type=int, default=200)
     p.add_argument("--bf16", type=int, default=0)
+    p.add_argument("--use_checkpoint", type=int, default=0,
+                   help="rematerialize each block in the backward pass "
+                        "(trades FLOPs for activation memory)")
     p.add_argument("--data_path", type=str, default="./data/fno")
     p.add_argument("--out_dir", type=str, default="./runs")
     p.add_argument("--save_name", type=str, default=name)
@@ -65,6 +68,7 @@ def apply_model_args(cfg, args):
     cfg.model.unified_pos = bool(args.unified_pos)
     cfg.model.ref = args.ref
     cfg.model.bf16 = bool(args.bf16)
+    cfg.model.use_checkpoint = bool(getattr(args, "use_checkpoint", 0))
     return cfg
 
 
