@@ -40,6 +40,12 @@ N_POINTS = 32768
 BATCH = 1
 BASELINE_SEC_PER_BATCH = 0.430  # A100, reference training log
 BASELINE_PPS = N_POINTS * BATCH / BASELINE_SEC_PER_BATCH
+# bf16 matmul peak of one v5e chip (the bench target hardware); used only
+# for the mfu field. ~197 TFLOP/s (public TPU v5e spec).
+PEAK_BF16_FLOPS = 197e12
+# Analytic fallback if XLA cost analysis is unavailable: ~5.8 MFLOPs/point
+# fwd+bwd for the flagship 1.76M-param config (VERDICT r2 accounting).
+FALLBACK_FLOPS_PER_POINT = 5.8e6
 
 
 def main():
@@ -141,11 +147,34 @@ def main():
     dt = min(per_step("d_hi", "d_lo"), per_step("l_hi", "l_lo"))
 
     pps = N_POINTS * BATCH / dt
+
+    # MFU: FLOPs of ONE compiled train step (XLA cost analysis of the
+    # program actually measured; analytic fallback) over achieved time,
+    # vs the chip's bf16 peak. Grounds the headline in hardware terms
+    # independent of the A100 baseline ratio (VERDICT r2 #5).
+    flops_per_step = None
+    flops_source = "xla_cost_analysis"
+    try:
+        ca = train_step.lower(
+            params, batch_stats, opt_state, x, y).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    if flops_per_step is None:
+        flops_per_step = FALLBACK_FLOPS_PER_POINT * N_POINTS * BATCH
+        flops_source = "analytic_estimate"
+    mfu = flops_per_step / dt / PEAK_BF16_FLOPS if on_tpu else None
+
     print(json.dumps({
         "metric": "points_per_sec_fwd_bwd_step",
         "value": round(pps, 1),
         "unit": "points/sec/chip",
         "vs_baseline": round(pps / BASELINE_PPS, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "step_tflops": round(flops_per_step / 1e12, 4),
+        "flops_source": flops_source,
     }))
 
 

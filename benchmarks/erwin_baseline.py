@@ -38,6 +38,9 @@ class ErwinCarModel(nn.Module):
 
     hidden_dim: int = 128
     mp_steps: int = 3
+    # reference 02.1 builds the MPNN graph with radius_graph(r=0.2,
+    # default neighbor cap 32) (02.1/main.py:53-102)
+    radius: float = 0.2
 
     @nn.compact
     def __call__(self, x, fx=None, *, train: bool = False):
@@ -58,6 +61,8 @@ class ErwinCarModel(nn.Module):
             mlp_ratio=4,
             dimensionality=3,
             mp_steps=self.mp_steps,
+            mp_radius=self.radius,
+            mp_neighbors=32,
             embed=True,
             name="erwin",
         )(xp, posp, mask=mask, train=train)
@@ -76,7 +81,8 @@ def main(args):
 
     cfg = TrainConfig(lr=args.lr, epochs=args.epochs, batch_size=1,
                       max_grad_norm=1.0, early_stop_patience=7)
-    model = ErwinCarModel(hidden_dim=args.hidden_dim, mp_steps=args.mp_steps)
+    model = ErwinCarModel(hidden_dim=args.hidden_dim, mp_steps=args.mp_steps,
+                          radius=args.r)
     trainer = Trainer(
         model=model, loss_fn=loss_fn_builder(args.weight), cfg=cfg,
         total_steps=len(train_s) * cfg.epochs,
@@ -113,6 +119,8 @@ if __name__ == "__main__":
     p.add_argument("--weight", type=float, default=0.5)
     p.add_argument("--hidden_dim", type=int, default=128)
     p.add_argument("--mp_steps", type=int, default=3)
+    p.add_argument("--r", type=float, default=0.2,
+                   help="MPNN radius-graph radius (reference 02.1 default)")
     p.add_argument("--out_dir", type=str, default="./runs")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()

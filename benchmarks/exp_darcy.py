@@ -65,6 +65,9 @@ def main(args):
     s = data["s"]
     if data["synthetic"]:
         print("[exp_darcy] dataset not found -> synthetic stand-in data")
+    # The grid side is derived from the loaded file (the preset bakes in the
+    # 421-grid FNO assumption); reconcile the model's H/W with the data.
+    cfg.model.H = cfg.model.W = s
 
     x_norm = UnitTransformer(data["train"]["x"])
     y_norm = UnitTransformer(data["train"]["y"])

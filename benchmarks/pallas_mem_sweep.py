@@ -86,40 +86,86 @@ def run_probe(num_points: int, use_pallas: bool, bf16: bool = True,
     return 0 if ok else 1
 
 
+import re
+
+# Genuine device-memory exhaustion signatures (XLA emits RESOURCE_EXHAUSTED
+# with an HBM usage breakdown, "Used X of Y hbm"); anything else — remote
+# compile-service HTTP errors, tunnel drops, tpu_compile_helper crashes —
+# is an infrastructure failure and NOT a memory signal (VERDICT r2 weak #5).
+_OOM_RE = re.compile(
+    r"RESOURCE_EXHAUSTED|out of memory|\bhbm\b|Used [0-9.]+[GMK]?B? of",
+    re.IGNORECASE,
+)
+_INFRA_RE = re.compile(
+    r"HTTP 5\d\d|tpu_compile_helper|DEADLINE_EXCEEDED|UNAVAILABLE|"
+    r"Connection (reset|refused)|Socket closed|INTERNAL",
+)
+
+
+def classify_failure(err: str) -> str:
+    """'oom' | 'infra' | 'other' from a failing probe's stderr."""
+    if _OOM_RE.search(err):
+        return "oom"
+    if _INFRA_RE.search(err):
+        return "infra"
+    return "other"
+
+
 def probe_subprocess(num_points: int, use_pallas: bool,
-                     grad: bool = False, slice_num: int = 32) -> dict:
-    """Fresh-process probe; returns the parsed JSON record or an OOM mark."""
+                     grad: bool = False, slice_num: int = 32,
+                     infra_retries: int = 2) -> dict:
+    """Fresh-process probe; returns the parsed JSON record or a classified
+    failure mark. Infrastructure failures (compile-service/tunnel errors)
+    are re-probed up to ``infra_retries`` times — they carry no information
+    about the memory boundary."""
     cmd = [sys.executable, os.path.abspath(__file__),
            "--probe", str(num_points), "--pallas", str(int(use_pallas)),
            "--grad", str(int(grad)), "--slice_num", str(slice_num)]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=1800)
-    except subprocess.TimeoutExpired:
-        return {"num_points": num_points, "pallas": use_pallas, "ok": False,
-                "timeout": True}
-    for line in proc.stdout.splitlines():
+    attempts = 0
+    while True:
+        attempts += 1
         try:
-            rec = json.loads(line)
-            if "num_points" in rec:
-                return rec
-        except json.JSONDecodeError:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=1800)
+        except subprocess.TimeoutExpired:
+            return {"num_points": num_points, "pallas": use_pallas,
+                    "ok": False, "failure": "timeout", "timeout": True}
+        for line in proc.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+                if "num_points" in rec:
+                    return rec
+            except json.JSONDecodeError:
+                continue
+        err = proc.stderr or ""
+        kind = classify_failure(err)
+        if kind == "infra" and attempts <= infra_retries:
+            print(json.dumps({
+                "num_points": num_points, "pallas": use_pallas,
+                "retrying_infra_failure": attempts,
+            }), flush=True)
+            time.sleep(10 * attempts)
             continue
-    err = proc.stderr or ""
-    oom = "RESOURCE_EXHAUSTED" in err or "out of memory" in err.lower()
-    lines = [l for l in err.splitlines()
-             if "RESOURCE_EXHAUSTED" in l or "Error" in l]
-    return {"num_points": num_points, "pallas": use_pallas, "ok": False,
-            "oom": oom,
-            "error_tail": (lines[0][:200] if lines
-                           else f"rc={proc.returncode}")}
+        # prefer the line that names the OOM ("Ran out of memory in memory
+        # space hbm. Used X of Y hbm") over the HTTP-transport wrapper
+        oom_lines = [l for l in err.splitlines() if _OOM_RE.search(l)]
+        other = [l for l in err.splitlines()
+                 if _INFRA_RE.search(l) or "Error" in l]
+        pick = oom_lines or other
+        tail = (re.sub(r"\x1b\[[0-9;]*m", "", pick[0]).strip()[:240]
+                if pick else f"rc={proc.returncode}")
+        return {"num_points": num_points, "pallas": use_pallas, "ok": False,
+                "failure": kind, "oom": kind == "oom", "error_tail": tail}
 
 
 def find_max_n(use_pallas: bool, start: int, limit: int, log, grad=False,
                slice_num=32):
-    """Double until failure, then bisect."""
+    """Double until failure, then bisect. Returns
+    ``(max_ok_n, hit_boundary, boundary_failure_kind)`` — the failure kind
+    of the rung that set the boundary must be 'oom' for the boundary to
+    mean anything (infra failures are already retried in the probe)."""
     n = start
-    last_ok, first_bad = None, None
+    last_ok, first_bad, bad_kind = None, None, None
     while n <= limit:
         rec = probe_subprocess(n, use_pallas, grad, slice_num)
         log(rec)
@@ -128,11 +174,12 @@ def find_max_n(use_pallas: bool, start: int, limit: int, log, grad=False,
             n *= 2
         else:
             first_bad = n
+            bad_kind = rec.get("failure", "unknown")
             break
     if first_bad is None:
-        return last_ok, False  # hit the sweep limit without OOM
+        return last_ok, False, None  # hit the sweep limit without OOM
     if last_ok is None:
-        return 0, True
+        return 0, True, bad_kind
     lo, hi = last_ok, first_bad
     while hi - lo > max(lo // 5, 1 << 16):
         mid = (lo + hi) // 2
@@ -142,7 +189,8 @@ def find_max_n(use_pallas: bool, start: int, limit: int, log, grad=False,
             lo = mid
         else:
             hi = mid
-    return lo, True
+            bad_kind = rec.get("failure", "unknown")
+    return lo, True, bad_kind
 
 
 def main():
@@ -155,6 +203,8 @@ def main():
                         "of forward-only")
     p.add_argument("--start", type=int, default=1_000_000)
     p.add_argument("--limit", type=int, default=128_000_000)
+    p.add_argument("--only", type=str, default=None, choices=["xla", "pallas"],
+                   help="probe just one path (for targeted boundary re-runs)")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -168,12 +218,17 @@ def main():
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
-    max_xla, xla_oomed = find_max_n(False, args.start, args.limit, log,
-                                    grad=bool(args.grad),
-                                    slice_num=args.slice_num)
-    max_pallas, pallas_oomed = find_max_n(True, args.start, args.limit, log,
-                                          grad=bool(args.grad),
-                                          slice_num=args.slice_num)
+    max_xla = max_pallas = None
+    xla_oomed = pallas_oomed = None
+    xla_kind = pallas_kind = None
+    if args.only in (None, "xla"):
+        max_xla, xla_oomed, xla_kind = find_max_n(
+            False, args.start, args.limit, log, grad=bool(args.grad),
+            slice_num=args.slice_num)
+    if args.only in (None, "pallas"):
+        max_pallas, pallas_oomed, pallas_kind = find_max_n(
+            True, args.start, args.limit, log, grad=bool(args.grad),
+            slice_num=args.slice_num)
     summary = {
         "summary": True,
         "grad": bool(args.grad),
@@ -182,7 +237,12 @@ def main():
         "max_points_pallas": max_pallas,
         "xla_hit_oom": xla_oomed,
         "pallas_hit_oom": pallas_oomed,
-        "pallas_headroom_x": round(max_pallas / max_xla, 2) if max_xla else None,
+        # 'oom' = boundary set by a genuine HBM RESOURCE_EXHAUSTED; anything
+        # else means the boundary is infrastructure-limited, not memory
+        "xla_boundary_failure": xla_kind,
+        "pallas_boundary_failure": pallas_kind,
+        "pallas_headroom_x": (round(max_pallas / max_xla, 2)
+                              if max_xla and max_pallas else None),
         # auto-dispatch rule: switch to the fused path once N is beyond
         # what the XLA path can hold (with a 25% safety margin)
         "auto_threshold": int(max_xla * 0.75) if max_xla else None,

@@ -38,20 +38,27 @@ class Prefetcher:
         stop = threading.Event()
         SENTINEL = object()
 
+        def put_or_abandon(item) -> bool:
+            """Stop-aware put: never blocks forever if the consumer walked
+            away from the generator mid-pass (early break / error in the
+            training loop) — an unconditional put would leak the thread
+            plus its queued batch references for every abandoned pass."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in self.batches_fn():
-                    while not stop.is_set():
-                        try:
-                            q.put(b, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_or_abandon(b):
                         return
-                q.put(SENTINEL)
+                put_or_abandon(SENTINEL)
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                put_or_abandon(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

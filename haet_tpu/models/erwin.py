@@ -392,9 +392,12 @@ class MPNN(nn.Module):
                 param_dtype=self.param_dtype, name=f"message_{step}",
             )(msg)
             msg = nn.gelu(msg, approximate=False)
+            # non-affine LayerNorm, torch-default eps (reference mpnn.py:29
+            # nn.LayerNorm(dim, elementwise_affine=False), eps=1e-5)
             msg = nn.LayerNorm(
-                use_scale=False, use_bias=False, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=f"message_norm_{step}",
+                epsilon=1e-5, use_scale=False, use_bias=False,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"message_norm_{step}",
             )(msg)
             agg = (msg * w).sum(axis=2) / denom
             upd = nn.Dense(
@@ -403,8 +406,9 @@ class MPNN(nn.Module):
                 param_dtype=self.param_dtype, name=f"update_{step}",
             )(jnp.concatenate([h, agg], axis=-1))
             upd = nn.LayerNorm(
-                use_scale=False, use_bias=False, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=f"update_norm_{step}",
+                epsilon=1e-5, use_scale=False, use_bias=False,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"update_norm_{step}",
             )(upd)
             h = h + upd
         return h
@@ -442,6 +446,13 @@ class ErwinTransformer(nn.Module):
     use_pallas_blocks: bool = False
     grouping: str = "median"
     mp_neighbors: int = 16
+    # When set, MPNN edges are the radius graph (neighbor-capped at
+    # mp_neighbors) like the reference's torch_cluster.radius_graph call
+    # (erwin_flash.py:156-166, default cap 32); None keeps plain kNN.
+    # Exact brute-force for clouds <= ops.neighbors.BRUTE_FORCE_MAX_N,
+    # ball-grouped approximate search above (documented deviation,
+    # docs/architecture.md).
+    mp_radius: Optional[float] = None
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -469,9 +480,17 @@ class ErwinTransformer(nn.Module):
         if self.embed:
             nbr_idx = nbr_valid = None
             if self.mp_steps > 0:
-                nbr_idx, nbr_valid = knn_edges(
-                    jax.lax.stop_gradient(pos), self.mp_neighbors, mask=mask
-                )
+                if self.mp_radius is not None:
+                    from ..ops.neighbors import radius_edges
+                    nbr_idx, nbr_valid = radius_edges(
+                        jax.lax.stop_gradient(pos), self.mp_radius,
+                        self.mp_neighbors, mask=mask,
+                    )
+                else:
+                    nbr_idx, nbr_valid = knn_edges(
+                        jax.lax.stop_gradient(pos), self.mp_neighbors,
+                        mask=mask,
+                    )
             x = ErwinEmbedding(
                 self.c_in, self.c_hidden[0], self.mp_steps,
                 self.dimensionality, self.dtype, self.param_dtype,

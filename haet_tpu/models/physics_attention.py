@@ -144,8 +144,93 @@ class _PhysicsAttentionBase(nn.Module):
             t, PartitionSpec(*(lut[s] for s in spec))
         )
 
+    def _shard_axes_active(self) -> bool:
+        return self.shard_axes is not None and any(
+            a is not None for a in self.shard_axes
+        )
+
+    @staticmethod
+    def _context_mesh():
+        """The mesh this trace runs under (``with mesh:`` or ``use_mesh``),
+        or None."""
+        try:
+            from jax._src.mesh import thread_resources
+            phys = thread_resources.env.physical_mesh
+            if not phys.empty:
+                return phys
+        except Exception:
+            pass
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+            if mesh is not None and not mesh.empty:
+                return mesh
+        except Exception:
+            pass
+        return None
+
+    def _pallas_shard_map(self, mesh, batch: int):
+        """shard_map-wrap the fused kernels over (batch, head) mesh axes.
+
+        pallas_call carries no GSPMD partitioning spec, so under a mesh the
+        partitioner would replicate the [B, H, N, *] operands per chip —
+        blowing memory in exactly the large-N regime the fused path exists
+        to save (ADVICE r2). Per-(b, h) the slice softmax reduces only over
+        the local N axis, so sharding B over the batch axis and H over the
+        head axis keeps every kernel invocation fully local; shard_map's AD
+        transpose inserts the psums for the replicated parameter grads.
+
+        Returns ``(slice_fn, deslice_fn)`` or None if the mesh/shape
+        combination cannot be sharded (caller decides fallback/raise).
+        """
+        from jax.sharding import PartitionSpec as P
+
+        b_ax, h_ax = self.shard_axes
+        sizes = dict(mesh.shape)
+        for ax, dim in ((b_ax, batch), (h_ax, self.heads)):
+            if ax is None:
+                continue
+            if ax not in sizes or dim % sizes[ax] != 0:
+                return None
+        bhn = P(b_ax, h_ax, None)
+        bhnc = P(b_ax, h_ax, None, None)
+        rep = P()
+        base = self.base_temp
+        eps = self.epsilon
+
+        def slice_fn(x, ws, bs, wa, ba):
+            from ..ops.pallas import slice_kernels as sk
+            return jax.shard_map(
+                lambda x, ws, bs, wa, ba: sk.slice_states(
+                    x, ws, bs, wa, ba, base, eps),
+                mesh=mesh,
+                in_specs=(bhnc, rep, rep, rep, rep),
+                out_specs=(bhnc, bhn, bhn),
+                # pallas_call out_shapes carry no vma annotation
+                check_vma=False,
+            )(x, ws, bs, wa, ba)
+
+        def deslice_fn(x, ws, bs, wa, ba, st, m, s):
+            from ..ops.pallas import slice_kernels as sk
+            return jax.shard_map(
+                lambda x, ws, bs, wa, ba, st, m, s: sk.deslice(
+                    x, ws, bs, wa, ba, st, m, s, base, eps),
+                mesh=mesh,
+                in_specs=(bhnc, rep, rep, rep, rep, bhnc, bhn, bhn),
+                out_specs=bhnc,
+                check_vma=False,
+            )(x, ws, bs, wa, ba, st, m, s)
+
+        return slice_fn, deslice_fn
+
     def _pallas_enabled(self, n_points: int) -> bool:
-        """Resolve the use_pallas tri-state at trace time (N is static)."""
+        """Resolve the use_pallas tri-state at trace time (N is static).
+
+        With head-TP ``shard_axes`` the fused path is allowed only when the
+        kernels can be shard_map-wrapped over the mesh (see
+        ``_pallas_shard_map``); the final decision happens in ``__call__``
+        where the batch size is known — this method only applies the
+        N-threshold / backend rule.
+        """
         if self.use_pallas == "auto":
             # The XLA path's training OOM boundary shrinks with G (the
             # saved weight tensor is [B,H,N,G]): measured 2.25M @ G=32 and
@@ -163,6 +248,24 @@ class _PhysicsAttentionBase(nn.Module):
         B, N, _ = x.shape
         G, H, Dh = self.slice_num, self.heads, self.dim_head
         use_pallas = self._pallas_enabled(N)
+        pallas_fns = None
+        if use_pallas and self._shard_axes_active():
+            mesh = self._context_mesh()
+            pallas_fns = (
+                self._pallas_shard_map(mesh, B) if mesh is not None else None
+            )
+            if pallas_fns is None:
+                if self.use_pallas == "auto":
+                    use_pallas = False  # quietly take the XLA path
+                else:
+                    raise ValueError(
+                        "use_pallas=True with shard_axes requires tracing "
+                        "under a mesh whose axes divide (batch, heads) — "
+                        f"got B={B}, heads={self.heads}, "
+                        f"shard_axes={self.shard_axes}, mesh="
+                        f"{mesh and dict(mesh.shape)}. Trace inside "
+                        "`with mesh:` or drop shard_axes/use_pallas."
+                    )
 
         ### (1) Slice (StructuredMesh2D.py:180-213)
         x_proj = self._project(x)  # [B, H, N, Dh]
@@ -188,10 +291,27 @@ class _PhysicsAttentionBase(nn.Module):
             # x_proj passes in its native (e.g. bf16) dtype — the kernels
             # upcast per-tile in VMEM; a whole-array f32 copy of the
             # largest activation would defeat the memory purpose.
-            states, m_res, s_res = sk.slice_states(
-                x_proj, w_slice, b_slice, w_ada, b_ada,
-                self.base_temp, self.epsilon,
-            )
+            if pallas_fns is not None:
+                states, m_res, s_res = pallas_fns[0](
+                    x_proj, w_slice, b_slice, w_ada, b_ada)
+            else:
+                states, m_res, s_res = sk.slice_states(
+                    x_proj, w_slice, b_slice, w_ada, b_ada,
+                    self.base_temp, self.epsilon,
+                )
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("intermediates")):
+                # Visualization pass (capture_intermediates / mutable):
+                # the fused kernels never materialize the [B,H,N,G]
+                # weights, so recompute them via the XLA formula just for
+                # the sow. Only the viz forward pays the memory; normal
+                # training/eval traces skip this branch entirely.
+                tau = slice_ops.ada_temp(x_proj @ w_ada + b_ada,
+                                         self.base_temp)
+                logits = x_proj @ w_slice + b_slice
+                w_viz = slice_ops.rep_slice_weights(logits, tau, self.epsilon)
+                self.sow("intermediates", "slice_weights",
+                         w_viz.astype(x_proj.dtype))
         else:
             tau = slice_ops.ada_temp(x_proj @ w_ada + b_ada, self.base_temp)
             logits = x_proj @ w_slice + b_slice
@@ -249,11 +369,16 @@ class _PhysicsAttentionBase(nn.Module):
         ### (3) Deslice (StructuredMesh2D.py:248-262)
         if use_pallas:
             from ..ops.pallas import slice_kernels as sk
-            out = sk.deslice(
-                x_proj, w_slice, b_slice, w_ada, b_ada,
-                out_states, m_res, s_res,
-                self.base_temp, self.epsilon,
-            )
+            if pallas_fns is not None:
+                out = pallas_fns[1](
+                    x_proj, w_slice, b_slice, w_ada, b_ada,
+                    out_states, m_res, s_res)
+            else:
+                out = sk.deslice(
+                    x_proj, w_slice, b_slice, w_ada, b_ada,
+                    out_states, m_res, s_res,
+                    self.base_temp, self.epsilon,
+                )
         else:
             out = slice_ops.deslice(out_states, w)
         out = slice_ops.merge_heads(out)

@@ -141,8 +141,23 @@ bool read_binary(Cursor& c, int64_t count, const std::string& t, double* out) {
   return true;
 }
 
+// A count from an (untrusted) header is plausible only if non-negative and
+// small enough that the remaining buffer could possibly hold it: binary
+// needs count*sz bytes exactly; ASCII needs at least 2 bytes per number
+// (digit + separator), minus the last separator. Checked with divisions so
+// count*sz can never overflow. Rejecting here keeps a malformed file from
+// driving resize() into std::length_error/bad_alloc on a huge count.
+bool count_plausible(const Cursor& c, bool binary, const std::string& t,
+                     int64_t count) {
+  if (count < 0) return false;
+  const int64_t remaining = c.end - c.p;
+  if (binary) return count <= remaining / type_size(t);
+  return count <= (remaining + 1) / 2;
+}
+
 bool read_block(Cursor& c, bool binary, const std::string& t, int64_t count,
                 std::vector<double>& out) {
+  if (!count_plausible(c, binary, t, count)) return false;
   out.resize(static_cast<size_t>(count));
   return binary ? read_binary(c, count, t, out.data())
                 : read_ascii(c, count, out.data());
@@ -170,6 +185,11 @@ Vtk* parse(const char* buf, int64_t len) {
 
     if (key == "POINTS" && parts.size() >= 3) {
       const int64_t n = atoll(parts[1].c_str());
+      // bound-check before n*3 can overflow
+      if (n < 0 || n > (c.end - c.p)) {
+        v->error = "bad POINTS count";
+        return v;
+      }
       if (!read_block(c, binary, parts[2], n * 3, tmp)) {
         v->error = "short POINTS";
         return v;
@@ -200,9 +220,17 @@ Vtk* parse(const char* buf, int64_t len) {
     } else if (key == "POINT_DATA" && parts.size() >= 2) {
       in_point_data = true;
       section_n = atoll(parts[1].c_str());
+      if (section_n < 0 || section_n > (c.end - c.p)) {
+        v->error = "bad POINT_DATA count";
+        return v;
+      }
     } else if (key == "CELL_DATA" && parts.size() >= 2) {
       in_point_data = false;
       section_n = atoll(parts[1].c_str());
+      if (section_n < 0 || section_n > (c.end - c.p)) {
+        v->error = "bad CELL_DATA count";
+        return v;
+      }
     } else if ((key == "SCALARS" || key == "VECTORS" || key == "NORMALS") &&
                parts.size() >= 2) {
       Field f;
@@ -211,6 +239,11 @@ Vtk* parse(const char* buf, int64_t len) {
       f.ncomp = (key == "SCALARS")
                     ? (parts.size() >= 4 ? atoll(parts[3].c_str()) : 1)
                     : 3;
+      // legal SCALARS numComp is 1..4; reject junk before section_n*ncomp
+      if (f.ncomp < 1 || f.ncomp > 4) {
+        v->error = "bad field ncomp";
+        return v;
+      }
       if (key == "SCALARS") {
         // optional LOOKUP_TABLE line
         Cursor save = c;
@@ -236,7 +269,16 @@ Vtk* parse(const char* buf, int64_t len) {
 extern "C" {
 
 void* haet_vtk_parse(const char* buf, int64_t len) {
-  Vtk* v = parse(buf, len);
+  // No exception may cross the extern "C" boundary into ctypes — an escape
+  // aborts the interpreter instead of triggering the caller's numpy
+  // fallback for a malformed file.
+  Vtk* v = nullptr;
+  try {
+    v = parse(buf, len);
+  } catch (...) {
+    delete v;
+    return nullptr;
+  }
   if (!v->error.empty()) {
     delete v;
     return nullptr;

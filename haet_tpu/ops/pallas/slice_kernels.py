@@ -180,6 +180,17 @@ def slice_states(x_proj, w_slice, b_slice, w_ada, b_ada,
 
 def _slice_states_impl(x_proj, w_slice, b_slice, w_ada, b_ada,
                        base_temp, epsilon, tile_n):
+    states, m, s = _slice_states_impl_f32(
+        x_proj, w_slice, b_slice, w_ada, b_ada, base_temp, epsilon, tile_n)
+    return states.astype(x_proj.dtype), m, s
+
+
+def _slice_states_impl_f32(x_proj, w_slice, b_slice, w_ada, b_ada,
+                           base_temp, epsilon, tile_n):
+    """Like :func:`_slice_states_impl` but keeps the states in the f32 the
+    kernel accumulated them in — the backward reconstructs A and the
+    coupling term t from them, and a bf16 round-trip there would inject
+    bf16-level error into every point's dL/dw (ADVICE r2). G*C is tiny."""
     b, h, n, c = x_proj.shape
     g = w_slice.shape[1]
     xf = _flatten_heads(x_proj)
@@ -217,7 +228,7 @@ def _slice_states_impl(x_proj, w_slice, b_slice, w_ada, b_ada,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, g, c), x_proj.dtype),
+            jax.ShapeDtypeStruct((bh, g, c), jnp.float32),
             jax.ShapeDtypeStruct((bh, 1, g), jnp.float32),
             jax.ShapeDtypeStruct((bh, 1, g), jnp.float32),
         ],
@@ -305,10 +316,13 @@ def _pad_chunks(xf, n):
 
 def _slice_states_fwd(x_proj, w_slice, b_slice, w_ada, b_ada,
                       base_temp, epsilon, tile_n):
-    out = _slice_states_impl(x_proj, w_slice, b_slice, w_ada, b_ada,
-                             base_temp, epsilon, tile_n)
-    states, m, s = out
-    return out, (x_proj, w_slice, b_slice, w_ada, b_ada, states, m, s)
+    # Save the f32 states as the residual (the public output is rounded to
+    # the compute dtype) so the backward's A/t reconstruction matches the
+    # kernel's f32 accumulation exactly.
+    states_f32, m, s = _slice_states_impl_f32(
+        x_proj, w_slice, b_slice, w_ada, b_ada, base_temp, epsilon, tile_n)
+    out = (states_f32.astype(x_proj.dtype), m, s)
+    return out, (x_proj, w_slice, b_slice, w_ada, b_ada, states_f32, m, s)
 
 
 def _slice_states_bwd(base_temp, epsilon, tile_n, res, grads):

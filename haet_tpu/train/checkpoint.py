@@ -11,6 +11,7 @@ so training resumes exactly, with a best / last / periodic policy and
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -36,7 +37,39 @@ class Checkpointer:
         os.makedirs(self.directory, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
         self.keep = keep
+        # best_val is the watermark deciding whether a new eval beats the
+        # stored `best` checkpoint. It must survive a restart: the reference
+        # never resumes (best is monotone within a run, train.py:250-259),
+        # but a framework with true mid-training resume must not let the
+        # first post-restart eval overwrite a better pre-restart `best`.
+        # Persisted in a sidecar json next to the checkpoints and re-armed
+        # here, so every resume path (including a fresh Checkpointer over an
+        # existing run directory) is covered.
         self.best_val = float("inf")
+        self.best_epoch: int | None = None
+        meta = self._read_meta()
+        if meta is not None:
+            self.best_val = float(meta.get("best_val", float("inf")))
+            be = meta.get("best_epoch")
+            self.best_epoch = int(be) if be is not None else None
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.directory, "best_meta.json")
+
+    def _read_meta(self):
+        try:
+            with open(self._meta_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            return None
+
+    def _write_meta(self):
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"best_val": self.best_val,
+                       "best_epoch": self.best_epoch}, f)
+        os.replace(tmp, self._meta_path)
 
     def _save(self, name: str, state: Any):
         path = os.path.join(self.directory, name)
@@ -45,7 +78,9 @@ class Checkpointer:
     def save_best(self, state, val_loss: float, epoch: int):
         if val_loss < self.best_val:
             self.best_val = val_loss
+            self.best_epoch = epoch
             self._save("best", state)
+            self._write_meta()
 
     def save_last(self, state, epoch: int):
         self._save("last", state)

@@ -159,6 +159,11 @@ class Trainer:
     # log per-batch metrics every K batches (reference logs every 10,
     # train.py:109-125); 0 disables per-batch logging.
     batch_log_every: int = 0
+    # log per-leaf gradient norms every K epochs — the analogue of the
+    # reference's wandb.watch(model, log="all") gradient histograms
+    # (train.py:192-208). 0 disables. Computed once per K epochs on one
+    # batch (a separate jitted program), not in the hot step.
+    watch_every: int = 0
 
     def __post_init__(self):
         self.tx = make_optimizer(self.cfg, self.total_steps)
@@ -166,6 +171,7 @@ class Trainer:
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval)
         self._train_scan = jax.jit(self._scan_steps, donate_argnums=(0,))
+        self._leaf_norms_jit = jax.jit(self._leaf_grad_norms)
         self._predict_jit = jax.jit(
             lambda params, batch_stats, batch:
             self._apply(params, batch_stats, batch, False, None)[0]
@@ -249,6 +255,35 @@ class Trainer:
         # cheap inside the fused step (one extra reduction).
         metrics = {"loss": l, "grad_norm": optax.global_norm(grads), **aux}
         return new_state, metrics
+
+    def _leaf_grad_norms(self, state: TrainState, batch, rng):
+        def loss(params):
+            out, _ = self._apply(params, state.batch_stats, batch, True, rng)
+            l, _ = self.loss_fn(out, batch)
+            return l
+
+        grads = jax.grad(loss)(state.params)
+        return jax.tree_util.tree_map(
+            lambda g: jnp.sqrt(jnp.sum(jnp.square(g))), grads
+        )
+
+    def grad_leaf_norms(self, state, batch, rng) -> dict:
+        """Per-parameter-leaf gradient L2 norms as a flat ``{path: norm}``
+        dict — the scalar summary of the reference's ``wandb.watch``
+        gradient histograms (train.py:192-208), usable every K epochs
+        without per-step cost."""
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            batch = shard_batch(batch, self.mesh)
+            with self.mesh:
+                norms = self._leaf_norms_jit(state, batch, rng)
+        else:
+            norms = self._leaf_norms_jit(state, batch, rng)
+        flat = jax.tree_util.tree_flatten_with_path(norms)[0]
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in path): float(v)
+            for path, v in flat
+        }
 
     def _eval(self, state: TrainState, batch):
         out, _ = self._apply(state.params, state.batch_stats, batch, False, None)
@@ -359,7 +394,10 @@ class Trainer:
             t0 = time.time()
             timer = StepTimer()
             train_metrics = []
+            watch_batch = None
             for i, batch in enumerate(train_batches()):
+                if i == 0:
+                    watch_batch = batch
                 rng, step_rng = jax.random.split(rng)
                 with timer.step():
                     state, m = self.train_step(state, batch, step_rng)
@@ -393,6 +431,17 @@ class Trainer:
                 tm["train/device_memory_mb"] = dev_mb
             rec = {"epoch": epoch, **tm,
                    "epoch/time_seconds": time.time() - t0}
+            if (
+                self.watch_every
+                and watch_batch is not None
+                and (epoch + 1) % self.watch_every == 0
+            ):
+                rng, watch_rng = jax.random.split(rng)
+                rec.update({
+                    f"gradients/{k}": v
+                    for k, v in self.grad_leaf_norms(
+                        state, watch_batch, watch_rng).items()
+                })
 
             if eval_batches is not None and (epoch + 1) % eval_every == 0:
                 ev = [self.eval_step(state, b) for b in eval_batches()]

@@ -60,4 +60,8 @@ def test_darcy_synthetic_converges():
     # 12 tiny-model epochs: expect a clear but not dramatic drop (the same
     # recipe reaches rel-L2 ~0.07 in 60 epochs on TPU at n_hidden=64).
     assert last < 0.8 * first, f"no learning: {first} -> {last}"
-    assert last < 0.6, f"converged too little: {last}"
+    # Golden gate pinned to the measured fixed-seed CPU trajectory
+    # (first 0.6932 -> last 0.4870, measured round 3): 0.53 gives ~9%
+    # headroom for XLA-version drift while catching any real numerics
+    # regression the forward oracles might miss (train-mode-only paths).
+    assert last < 0.53, f"regressed vs golden 0.487: {last}"

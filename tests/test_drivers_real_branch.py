@@ -1,0 +1,208 @@
+"""Drivers' REAL-data branch, end to end, on miniature fixture-built
+datasets (VERDICT r2 #3).
+
+The committed byte-level fixtures (tests/fixtures/data) were previously only
+parsed at the *loader* level; these tests point the actual driver
+``main()``s at fixture-built on-disk datasets so the glue between loader
+output and driver batching — grid-side reconciliation, key names, fold
+layout, normalization, the ``--preprocessed`` npy cache — executes without
+the synthetic fallback. Any loader/driver format drift fails here.
+
+Each run is 2 tiny epochs on CPU.
+"""
+
+import argparse
+import os
+import shutil
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+BENCH = os.path.join(REPO, "benchmarks")
+FIXT = os.path.join(HERE, "fixtures", "data")
+if BENCH not in sys.path:
+    sys.path.insert(0, BENCH)
+
+
+def test_exp_darcy_real_branch(tmp_path, capsys):
+    """exp_darcy.main() on the committed .mat fixtures (41-grid files with
+    the real FNO key names) — exercises loadmat, downsampling, the
+    UnitTransformer encode, and the H/W reconciliation with the loaded
+    grid side (the preset assumes the 421 grid)."""
+    import exp_darcy
+
+    args = argparse.Namespace(
+        # batch_size=1: 3 steps/epoch — a OneCycle horizon of only 2 steps
+        # would degenerate (zero-width warmup interval -> nan lr)
+        lr=1e-3, epochs=2, batch_size=1, n_hidden=32, n_layers=2, n_heads=4,
+        slice_num=16, mlp_ratio=1, downsample=2, unified_pos=0, ntrain=3,
+        ntest=3, bf16=0, data_path=os.path.join(FIXT, "darcy"),
+        out_dir=str(tmp_path), showcase=False, resume=False, dp=0, tp=1,
+        smoke=False,
+    )
+    rel = exp_darcy.main(args)
+    out = capsys.readouterr().out
+    assert "synthetic stand-in" not in out
+    assert np.isfinite(rel)
+    assert os.path.exists(tmp_path / "darcy_metrics.jsonl")
+
+
+def test_exp_elas_real_branch(tmp_path, capsys):
+    """exp_elas.main() on the committed Random_UnitCell .npy fixtures
+    (6 samples of 37 points in the reference's [npts, 2, N] layout)."""
+    import exp_elas
+
+    args = argparse.Namespace(
+        lr=1e-3, epochs=2, weight_decay=1e-5, batch_size=2, n_hidden=32,
+        n_layers=2, n_heads=4, slice_num=16, mlp_ratio=1, dropout=0.0,
+        max_grad_norm=None, unified_pos=0, ref=8, ntrain=4, ntest=2, bf16=0,
+        use_checkpoint=0, data_path=os.path.join(FIXT, "elasticity"),
+        out_dir=str(tmp_path), save_name="elas", smoke=False, dp=0, tp=1,
+    )
+    rel = exp_elas.main(args)
+    out = capsys.readouterr().out
+    assert "synthetic stand-in" not in out
+    assert np.isfinite(rel)
+
+
+def _build_car_dataset(root):
+    """Assemble a 2-fold miniature of the reference's on-disk layout
+    (param{K}/<sample>/{quadpress,hexvelo}_smpl.vtk) from the committed
+    fixture VTK pair."""
+    src = os.path.join(FIXT, "car", "param0", "fixturecar000")
+    for fold, names in [("param0", ["car_a"]), ("param1", ["car_b", "car_c"])]:
+        for n in names:
+            shutil.copytree(src, os.path.join(root, fold, n))
+
+
+def test_car_train_real_branch(tmp_path, capsys):
+    """car_train.main() on a fixture-built fold layout: VTK parse, SDF /
+    normals feature assembly, fold split (fold 0 held out), streaming
+    normalization, training, the full eval metric set, then a SECOND run
+    through the --preprocessed npy-cache branch."""
+    import car_train
+
+    data_dir = str(tmp_path / "training_data")
+    _build_car_dataset(data_dir)
+    cache = str(tmp_path / "cache")
+    args = argparse.Namespace(
+        data_dir=data_dir, save_dir=cache, preprocessed=False, fold_id=0,
+        epochs=2, lr=1e-3, weight=0.5, n_hidden=32, n_layers=1,
+        slice_num=16, bf16=0, out_dir=str(tmp_path / "runs"), prefetch=2,
+        dp=0, tp=1, resume=False, smoke=True,  # smoke resets erwin sizing
+    )
+    metrics = car_train.main(args)
+    out = capsys.readouterr().out
+    assert "synthetic stand-in" not in out
+    assert "train 2 / val 1 samples" in out
+    for key in ("rel_l2_press", "rel_l2_velo", "rmse_press", "rmse_velo",
+                "time_per_sample"):
+        assert key in metrics and np.isfinite(metrics[key]), key
+
+    # the first pass wrote the npy cache for every sample
+    for fold, names in [("param0", ["car_a"]), ("param1", ["car_b", "car_c"])]:
+        for n in names:
+            for f in ("pos.npy", "x.npy", "y.npy", "surf.npy"):
+                assert os.path.exists(os.path.join(cache, fold, n, f)), (fold, n, f)
+
+    # second run exercises the --preprocessed read branch end to end
+    args.preprocessed = True
+    metrics2 = car_train.main(args)
+    out2 = capsys.readouterr().out
+    assert "train 2 / val 1 samples" in out2
+    assert np.isfinite(metrics2["rel_l2_press"])
+
+
+def test_car_cache_roundtrip_identical():
+    """The npy cache must reproduce the VTK-parsed samples bit-for-bit
+    (loader-level check of the same branch the driver test exercises)."""
+    import tempfile
+
+    from haet_tpu.data import shapenet_car
+
+    with tempfile.TemporaryDirectory() as td:
+        data_dir = os.path.join(td, "data")
+        _build_car_dataset(data_dir)
+        cache = os.path.join(td, "cache")
+        tr1, va1, coef1, s1 = shapenet_car.load_train_val_fold(
+            data_dir, 0, savedir=cache, preprocessed=False)
+        tr2, va2, coef2, s2 = shapenet_car.load_train_val_fold(
+            data_dir, 0, savedir=cache, preprocessed=True)
+        assert not s1 and not s2
+        for a, b in zip(tr1 + va1, tr2 + va2):
+            np.testing.assert_array_equal(a.pos, b.pos)
+            np.testing.assert_array_equal(a.x, b.x)
+            np.testing.assert_array_equal(a.y, b.y)
+            np.testing.assert_array_equal(a.surf, b.surf)
+
+
+def _pde_args(tmp_path, data_path, **over):
+    base = dict(
+        lr=1e-3, epochs=2, weight_decay=1e-5, batch_size=2, n_hidden=32,
+        n_layers=2, n_heads=4, slice_num=16, mlp_ratio=1, dropout=0.0,
+        max_grad_norm=None, unified_pos=0, ref=8, ntrain=4, ntest=2, bf16=0,
+        use_checkpoint=0, data_path=data_path, out_dir=str(tmp_path),
+        save_name="t", smoke=False, dp=0, tp=1,
+    )
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def test_exp_pipe_real_branch(tmp_path, capsys):
+    """exp_pipe.run() on the committed Pipe_{X,Y,Q}.npy fixtures (13x13
+    meshes) — mesh-coordinate input path, fun_dim=0 placeholder."""
+    import exp_pipe
+
+    args = _pde_args(tmp_path, os.path.join(FIXT, "pipe"), ntrain=3,
+                     ntest=1, batch_size=1)
+    rel = exp_pipe.run(args)
+    out = capsys.readouterr().out
+    assert "synthetic stand-in" not in out
+    assert np.isfinite(rel)
+
+
+def test_exp_airfoil_real_branch(tmp_path, capsys):
+    """Airfoil via exp_pipe.run(prefix=NACA_Cylinder): 4-channel Q file
+    (pressure = last channel), 17x9 fixture meshes."""
+    import exp_pipe
+    from haet_tpu.utils.config import airfoil_config
+
+    args = _pde_args(tmp_path, os.path.join(FIXT, "airfoil"), ntrain=3,
+                     ntest=1, batch_size=1)
+    rel = exp_pipe.run(args, prefix="NACA_Cylinder", h=221, w=51,
+                       config_fn=airfoil_config, name="airfoil")
+    out = capsys.readouterr().out
+    assert "synthetic stand-in" not in out
+    assert np.isfinite(rel)
+
+
+def test_exp_ns_real_branch(tmp_path, capsys, monkeypatch):
+    """exp_ns.main() on the committed v7.3-HDF5 NS fixture (N=4, 16x16,
+    T=12): the autoregressive scan rollout on real file data. T_IN/T_OUT
+    shrunk to fit the fixture's 12 frames."""
+    import exp_ns
+
+    monkeypatch.setattr(exp_ns, "T_IN", 6)
+    monkeypatch.setattr(exp_ns, "T_OUT", 6)
+    args = _pde_args(tmp_path, os.path.join(FIXT, "ns"), ntrain=3, ntest=1,
+                     batch_size=1, n_layers=1)
+    rel = exp_ns.main(args)
+    out = capsys.readouterr().out
+    assert "synthetic stand-in" not in out
+    assert np.isfinite(rel)
+
+
+def test_exp_plas_real_branch(tmp_path, capsys):
+    """exp_plas.main() on the committed v7.3+userblock plasticity fixture —
+    the Time_Input path (timestep embedding, per-t queries) on real file
+    data; t derived from the file."""
+    import exp_plas
+
+    args = _pde_args(tmp_path, os.path.join(FIXT, "plasticity"), ntrain=3,
+                     ntest=1, batch_size=1, n_layers=1)
+    rel = exp_plas.main(args)
+    out = capsys.readouterr().out
+    assert "synthetic stand-in" not in out
+    assert np.isfinite(rel)

@@ -158,3 +158,98 @@ def test_erwin_decode_false_returns_coarse():
     out, pos_coarse = model.apply(v, x, pos)
     assert out.shape == (1, 16, 16)
     assert pos_coarse.shape == (1, 16, 3)
+
+
+def test_mpnn_matches_torch_oracle():
+    """Value-level MPNN oracle (reference mpnn.py:20-75): message
+    Linear([h_i,h_j,pos_i-pos_j]) -> GELU -> non-affine LayerNorm(eps 1e-5),
+    scatter_mean aggregation at the receiver, update
+    Linear([h, m]) -> non-affine LayerNorm, in-place residual. The repo's
+    capped-degree dense-slab redesign must reproduce it exactly when given
+    the identical edge set (VERDICT r2 #4)."""
+    import torch.nn.functional as F
+
+    from haet_tpu.models.erwin import MPNN
+    from haet_tpu.ops.neighbors import knn_edges_brute
+
+    Bb, Nn, K, Cc = 2, 24, 6, 8
+    rng = np.random.RandomState(7)
+    h0 = rng.randn(Bb, Nn, Cc).astype(np.float32)
+    pos = rng.rand(Bb, Nn, D).astype(np.float32)
+    idx, valid = knn_edges_brute(jnp.asarray(pos), K)
+    # knock out some edges so the masked-mean denominator is exercised
+    valid = np.array(valid)
+    valid[:, ::5, -2:] = False
+    idx_np, valid_np = np.asarray(idx), valid
+
+    m = MPNN(dim=Cc, mp_steps=2, dimensionality=D)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(h0), jnp.asarray(pos),
+               jnp.asarray(idx_np), jnp.asarray(valid_np))
+    out = np.asarray(m.apply(v, jnp.asarray(h0), jnp.asarray(pos),
+                             jnp.asarray(idx_np), jnp.asarray(valid_np)))
+    p = v["params"]
+
+    def ln(x):  # non-affine, torch-default eps (reference mpnn.py:29)
+        return F.layer_norm(x, (x.shape[-1],), eps=1e-5)
+
+    for b in range(Bb):
+        # edge list (row=sender j, col=receiver i) from the slab
+        rows, cols = [], []
+        for i in range(Nn):
+            for kk in range(K):
+                if valid_np[b, i, kk]:
+                    rows.append(int(idx_np[b, i, kk]))
+                    cols.append(i)
+        row = torch.tensor(rows)
+        col = torch.tensor(cols)
+        ht = t(h0[b])
+        pt = t(pos[b])
+        edge_attr = (pt[row] - pt[col]).detach()
+        for step in range(2):
+            wm = t(np.asarray(p[f"message_{step}"]["kernel"]))
+            bm = t(np.asarray(p[f"message_{step}"]["bias"]))
+            wu = t(np.asarray(p[f"update_{step}"]["kernel"]))
+            bu = t(np.asarray(p[f"update_{step}"]["bias"]))
+            msgs = torch.cat([ht[row], ht[col], edge_attr], dim=-1)
+            msgs = ln(F.gelu(msgs @ wm + bm))
+            agg = torch.zeros(Nn, Cc)
+            agg.index_add_(0, col, msgs)
+            cnt = torch.zeros(Nn).index_add_(
+                0, col, torch.ones(len(cols))).clamp(min=1.0)
+            agg = agg / cnt[:, None]
+            upd = ln(torch.cat([ht, agg], dim=-1) @ wu + bu)
+            ht = ht + upd
+        np.testing.assert_allclose(out[b], ht.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_mpnn_message_order_matches_reference():
+    """The reference concatenates [h_i(receiver-row? no: h[row]=sender),
+    h[col]=receiver, pos_row - pos_col] (mpnn.py:57-58,69-70); the slab
+    layout maps row=neighbor j, col=self i, edge_attr=pos_j - pos_i. A
+    swapped concat would still converge but break weight-level parity —
+    pin it by checking sensitivity: zeroing the first Cc input columns of
+    the message kernel must remove the dependence on NEIGHBOR features."""
+    from haet_tpu.models.erwin import MPNN
+    from haet_tpu.ops.neighbors import knn_edges_brute
+
+    Bb, Nn, K, Cc = 1, 12, 4, 6
+    rng = np.random.RandomState(8)
+    h0 = rng.randn(Bb, Nn, Cc).astype(np.float32)
+    pos = rng.rand(Bb, Nn, D).astype(np.float32)
+    idx, valid = knn_edges_brute(jnp.asarray(pos), K, include_self=False)
+
+    m = MPNN(dim=Cc, mp_steps=1, dimensionality=D)
+    v = m.init(jax.random.PRNGKey(1), jnp.asarray(h0), jnp.asarray(pos),
+               idx, valid)
+    params = jax.tree_util.tree_map(np.array, v["params"])
+    params["message_0"]["kernel"][:Cc] = 0.0  # kill the h_j (sender) block
+
+    h_pert = h0.copy()
+    h_pert[0, 0] += 10.0  # perturb ONE point's features
+    out_a = np.asarray(m.apply({"params": params}, jnp.asarray(h0),
+                               jnp.asarray(pos), idx, valid))
+    out_b = np.asarray(m.apply({"params": params}, jnp.asarray(h_pert),
+                               jnp.asarray(pos), idx, valid))
+    # with the sender block zeroed, point 0's features must not leak into
+    # OTHER points' updates (no self edge)
+    np.testing.assert_allclose(out_a[0, 1:], out_b[0, 1:], atol=1e-5)

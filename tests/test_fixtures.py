@@ -195,6 +195,38 @@ def test_native_vtk_reader_matches_python():
                                        rtol=1e-6, atol=1e-7)
 
 
+def test_native_vtk_reader_rejects_malformed_counts():
+    """Adversarial headers (huge/negative counts, junk ncomp) must fail as
+    a clean ValueError through ctypes — never an exception escaping the
+    extern "C" boundary (which would abort the interpreter) and never a
+    multi-GB resize (ADVICE r2)."""
+    import pytest
+
+    from haet_tpu.native import vtk_parse
+
+    header = b"# vtk DataFile Version 3.0\nfixture\nASCII\nDATASET UNSTRUCTURED_GRID\n"
+    bad = [
+        header + b"POINTS 99999999999999999 float\n0 0 0\n",
+        header + b"POINTS -5 float\n",
+        header + b"POINTS 9223372036854775807 float\n",  # n*3 would overflow
+        header + b"POINTS 1 float\n0 0 0\nPOINT_DATA -2\n",
+        header + b"POINTS 1 float\n0 0 0\nPOINT_DATA 99999999999999\n",
+        header
+        + b"POINTS 1 float\n0 0 0\nPOINT_DATA 1\nSCALARS p float 9999999\n",
+        header + b"CELLS 5 99999999999999\n",
+        b"# vtk DataFile Version 3.0\nfixture\nBINARY\nDATASET "
+        b"UNSTRUCTURED_GRID\nPOINTS 4096 double\n" + b"\x00" * 16,
+    ]
+    for raw in bad:
+        with pytest.raises(ValueError, match="native VTK parse failed"):
+            vtk_parse(raw)
+
+    # a well-formed minimal file still parses after the hardening
+    ok = header + b"POINTS 2 float\n0 0 0\n1 1 1\n"
+    out = vtk_parse(ok)
+    assert out["points"].shape == (2, 3)
+
+
 def test_native_vtk_reader_through_car_pipeline():
     """load_sample (which uses the auto native path) on the fixture gives
     the identical CarSample as the forced-python path."""

@@ -257,6 +257,78 @@ def test_periodic_checkpoints_and_keep(tmp_path):
     assert ck.restore(template, "epoch_0") is None
 
 
+def test_best_val_survives_restart(tmp_path):
+    """A restart must not regress the best checkpoint: after resuming, a
+    worse eval may not overwrite `best` (reference train.py:250-259 keeps
+    best monotone within a run; with true mid-training resume the watermark
+    must persist across runs too)."""
+    trainer = _make_trainer()
+    d = _data()
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in d.items()})
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save_best(state, val_loss=0.10, epoch=3)
+    ck.wait()
+    assert ck.best_val == pytest.approx(0.10)
+
+    # "restart": a fresh Checkpointer over the same directory re-arms
+    ck2 = Checkpointer(str(tmp_path / "ck"))
+    assert ck2.best_val == pytest.approx(0.10)
+    assert ck2.best_epoch == 3
+
+    # a worse post-restart eval must NOT overwrite best
+    worse_state = state.replace(step=state.step + 100)
+    ck2.save_best(worse_state, val_loss=0.50, epoch=4)
+    ck2.wait()
+    template = jax.tree_util.tree_map(np.asarray, state)
+    best = ck2.restore(template, "best")
+    assert int(best.step) == int(state.step)  # still the pre-restart state
+
+    # a genuinely better eval still advances the watermark
+    ck2.save_best(worse_state, val_loss=0.05, epoch=5)
+    ck2.wait()
+    best = ck2.restore(template, "best")
+    assert int(best.step) == int(worse_state.step)
+    assert Checkpointer(str(tmp_path / "ck")).best_val == pytest.approx(0.05)
+
+
+def test_watch_every_logs_per_leaf_grad_norms(tmp_path):
+    """watch_every=K logs gradients/{leaf path} L2 norms every K epochs —
+    the analogue of the reference's wandb.watch (train.py:192-208)."""
+    import json as _json
+
+    from haet_tpu.data import batch_iter
+    from haet_tpu.train import MetricsLogger
+
+    trainer = _make_trainer()
+    trainer.watch_every = 2
+    d = _data(16)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in d.items()})
+    log_path = str(tmp_path / "metrics.jsonl")
+    state = trainer.fit(state, batch_iter(d, 8, True, 0), epochs=4,
+                        logger=MetricsLogger(path=log_path, echo=False))
+    recs = [_json.loads(line) for line in open(log_path)]
+    epoch_recs = {r["epoch"]: r for r in recs if "epoch" in r}
+    grad_keys = [k for k in epoch_recs[1] if k.startswith("gradients/")]
+    assert any("kernel" in k for k in grad_keys)
+    assert any("bias" in k for k in grad_keys)
+    assert all(np.isfinite(epoch_recs[1][k]) and epoch_recs[1][k] >= 0
+               for k in grad_keys)
+    # only on multiples of watch_every
+    assert not any(k.startswith("gradients/") for k in epoch_recs[0])
+    assert any(k.startswith("gradients/") for k in epoch_recs[3])
+
+    # the per-leaf norms are consistent with the fused-step global grad_norm
+    rng = jax.random.PRNGKey(5)
+    batch = {k: v[:8] for k, v in d.items()}
+    leaf = trainer.grad_leaf_norms(state, batch, rng)
+    _, m = trainer.train_step(state, batch, rng)
+    global_from_leaves = float(np.sqrt(sum(v ** 2 for v in leaf.values())))
+    assert global_from_leaves == pytest.approx(float(m["grad_norm"]),
+                                               rel=1e-4)
+
+
 def test_prefetcher_matches_plain_iteration():
     """Prefetcher preserves order/content across multiple passes and
     propagates producer exceptions."""
