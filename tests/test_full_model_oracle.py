@@ -554,6 +554,10 @@ def test_grad_parity_3d_eval(monkeypatch):
     _grad_parity_case(monkeypatch, "conv3d", train=False)
 
 
+def test_grad_parity_3d_train(monkeypatch):
+    _grad_parity_case(monkeypatch, "conv3d", train=True)
+
+
 def test_grad_parity_irregular_train(monkeypatch):
     _grad_parity_case(monkeypatch, "linear", train=True)
 
