@@ -88,22 +88,36 @@ def run_probe(num_points: int, use_pallas: bool, bf16: bool = True,
 
 import re
 
-# Genuine device-memory exhaustion signatures (XLA emits RESOURCE_EXHAUSTED
-# with an HBM usage breakdown, "Used X of Y hbm"); anything else — remote
-# compile-service HTTP errors, tunnel drops, tpu_compile_helper crashes —
-# is an infrastructure failure and NOT a memory signal (VERDICT r2 weak #5).
+# Genuine device-memory exhaustion requires the HBM-specific signature
+# ("Ran out of memory in memory space hbm" / the "Used X of Y hbm" usage
+# breakdown) — NOT bare RESOURCE_EXHAUSTED, which gRPC also uses for
+# transport/quota rejections through the tunneled compile service. A bare
+# RESOURCE_EXHAUSTED without an HBM breakdown is therefore classified as
+# retryable infra: if it was a real OOM it recurs on the retry with the
+# breakdown; if it was a rate limit, retrying is exactly right. Everything
+# else — HTTP 5xx, tunnel drops, tpu_compile_helper crashes — is an
+# infrastructure failure and NOT a memory signal (VERDICT r2 weak #5).
 _OOM_RE = re.compile(
-    r"RESOURCE_EXHAUSTED|out of memory|\bhbm\b|Used [0-9.]+[GMK]?B? of",
+    r"Ran out of memory in memory space (?:hbm|vmem)"
+    r"|Used [0-9.]+[KMGT]i?B? of [0-9.]+[KMGT]i?B? (?:hbm|memory)"
+    r"|Allocation .{0,80} exceeds .{0,80}\bhbm\b",
     re.IGNORECASE,
 )
 _INFRA_RE = re.compile(
     r"HTTP 5\d\d|tpu_compile_helper|DEADLINE_EXCEEDED|UNAVAILABLE|"
-    r"Connection (reset|refused)|Socket closed|INTERNAL",
+    r"Connection (reset|refused)|Socket closed|INTERNAL|"
+    r"RESOURCE_EXHAUSTED",  # ambiguous without an HBM breakdown -> retry
 )
 
 
 def classify_failure(err: str) -> str:
-    """'oom' | 'infra' | 'other' from a failing probe's stderr."""
+    """'oom' | 'infra' | 'other' from a failing probe's stderr.
+
+    'oom' is claimed only on the HBM-specific memory signature; checked
+    FIRST so a genuine OOM wrapped in a RESOURCE_EXHAUSTED status still
+    classifies as oom, while a bare RESOURCE_EXHAUSTED (gRPC quota /
+    message-size) falls through to the retryable 'infra' path.
+    """
     if _OOM_RE.search(err):
         return "oom"
     if _INFRA_RE.search(err):

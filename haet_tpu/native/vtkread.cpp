@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <vector>
 
@@ -163,8 +164,11 @@ bool read_block(Cursor& c, bool binary, const std::string& t, int64_t count,
                 : read_ascii(c, count, out.data());
 }
 
-Vtk* parse(const char* buf, int64_t len) {
-  auto* v = new Vtk();
+// unique_ptr ownership: if a vector resize throws mid-parse (huge but
+// header-plausible counts on a memory-constrained host), the partially
+// filled Vtk must not leak on the way to the caller's catch.
+std::unique_ptr<Vtk> parse(const char* buf, int64_t len) {
+  auto v = std::make_unique<Vtk>();
   Cursor c{buf, buf + len};
   std::string line;
 
@@ -272,18 +276,16 @@ void* haet_vtk_parse(const char* buf, int64_t len) {
   // No exception may cross the extern "C" boundary into ctypes — an escape
   // aborts the interpreter instead of triggering the caller's numpy
   // fallback for a malformed file.
-  Vtk* v = nullptr;
+  std::unique_ptr<Vtk> v;
   try {
     v = parse(buf, len);
   } catch (...) {
-    delete v;
     return nullptr;
   }
   if (!v->error.empty()) {
-    delete v;
     return nullptr;
   }
-  return v;
+  return v.release();
 }
 
 void haet_vtk_free(void* h) { delete static_cast<Vtk*>(h); }

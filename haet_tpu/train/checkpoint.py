@@ -43,15 +43,28 @@ class Checkpointer:
         # but a framework with true mid-training resume must not let the
         # first post-restart eval overwrite a better pre-restart `best`.
         # Persisted in a sidecar json next to the checkpoints and re-armed
-        # here, so every resume path (including a fresh Checkpointer over an
-        # existing run directory) is covered.
+        # by rearm_best(), which Trainer.maybe_restore calls on the resume
+        # path. Deliberately NOT re-armed on construction: a from-scratch
+        # rerun into an existing run directory must start at inf, or its
+        # genuinely-best epochs could never beat the previous run's stale
+        # watermark and `best` would keep another run's weights.
         self.best_val = float("inf")
         self.best_epoch: int | None = None
+
+    def rearm_best(self) -> bool:
+        """Restore the best-val watermark from the sidecar meta (resume
+        path). Returns True if a watermark backed by an existing `best`
+        checkpoint was re-armed; stale meta without a finalized checkpoint
+        behind it is ignored."""
         meta = self._read_meta()
-        if meta is not None:
-            self.best_val = float(meta.get("best_val", float("inf")))
-            be = meta.get("best_epoch")
-            self.best_epoch = int(be) if be is not None else None
+        if meta is None:
+            return False
+        if not os.path.exists(os.path.join(self.directory, "best")):
+            return False
+        self.best_val = float(meta.get("best_val", float("inf")))
+        be = meta.get("best_epoch")
+        self.best_epoch = int(be) if be is not None else None
+        return True
 
     @property
     def _meta_path(self) -> str:
@@ -80,6 +93,12 @@ class Checkpointer:
             self.best_val = val_loss
             self.best_epoch = epoch
             self._save("best", state)
+            # Orbax saves are async: finalize before persisting the
+            # watermark, so a crash mid-save cannot leave a meta that
+            # suppresses future save_best calls with no valid `best`
+            # checkpoint behind it. Best saves are rare (improvements
+            # only), so the synchronous wait is cheap.
+            self._ckpt.wait_until_finished()
             self._write_meta()
 
     def save_last(self, state, epoch: int):

@@ -205,6 +205,11 @@ class Trainer:
                       which: str = "last") -> TrainState:
         """Resume from a checkpoint if one exists (true mid-training resume —
         the reference can only load weights for eval, exp_darcy.py:147)."""
+        # Resume intent: re-arm the best-val watermark so the first
+        # post-restart eval cannot overwrite a better pre-restart `best`
+        # (fresh runs into the same directory start at inf instead).
+        if hasattr(checkpointer, "rearm_best"):
+            checkpointer.rearm_best()
         template = jax.tree_util.tree_map(np.asarray, state)
         restored = checkpointer.restore(template, which)
         if restored is None:
@@ -396,7 +401,10 @@ class Trainer:
             train_metrics = []
             watch_batch = None
             for i, batch in enumerate(train_batches()):
-                if i == 0:
+                # Pin the probe batch only when watching is on — otherwise
+                # a full (possibly 1M+-point) batch would stay alive the
+                # whole epoch for nothing.
+                if i == 0 and self.watch_every:
                     watch_batch = batch
                 rng, step_rng = jax.random.split(rng)
                 with timer.step():

@@ -249,6 +249,43 @@ def test_use_pallas_with_head_tp_shard_maps():
             lambda v, x: m_tp_pl.apply(v, x, None))(vs, xs))
     np.testing.assert_allclose(out_tp, out_ref, rtol=2e-4, atol=2e-5)
 
+    # Gradients through the shard_map-wrapped custom_vjp kernels must also
+    # match: the AD transpose of the replicated params inside shard_map is
+    # a psum over (dp, tp) — a wrong collective here would produce un- or
+    # double-psummed dL/dθ exactly in the large-N fused+TP training regime
+    # the wrap exists for. Baseline is the SAME kernels unsharded (fused
+    # custom_vjp vs XLA autodiff already differ at ~1e-3 through a whole
+    # model, which would mask a psum bug at loose tolerance); against the
+    # identical kernel stack only the collective/reduction order differs,
+    # so the bound can be tight while a missing psum (≈4× error on a 2×2
+    # mesh) would still blow it by orders of magnitude.
+    m_pl = HAETransolverIrregularMesh(use_pallas=True, **kw)
+
+    def loss_pl(v, x):
+        return jnp.sum(m_pl.apply(v, x, None) ** 2)
+
+    def loss_tp(v, x):
+        return jnp.sum(m_tp_pl.apply(v, x, None) ** 2)
+
+    g_pl = jax.jit(jax.grad(loss_pl))(v, x)
+    with mesh:
+        g_tp = jax.jit(jax.grad(loss_tp))(vs, xs)
+    flat_pl = jax.tree_util.tree_leaves_with_path(g_pl)
+    flat_tp = jax.tree_util.tree_leaves(g_tp)
+    assert len(flat_pl) == len(flat_tp)
+    # Per-leaf relative bound with an absolute floor at 1e-4 of the global
+    # gradient scale: a few leaves (BMSA pe_proj) carry ~1e-7-norm grads —
+    # pure cancellation noise next to the O(1) leaves — where a relative
+    # check only measures reduction-order jitter. A missing/double psum is
+    # a 2-4x error on O(1) leaves and still blows the bound by orders of
+    # magnitude.
+    gmax = max(float(np.max(np.abs(np.asarray(a)))) for _, a in flat_pl)
+    for (path, a), b in zip(flat_pl, flat_tp):
+        a = np.asarray(a)
+        scale = max(float(np.max(np.abs(a))), 1e-4 * gmax)
+        err = float(np.max(np.abs(a - np.asarray(b)))) / scale
+        assert err < 3e-5, (jax.tree_util.keystr(path), err)
+
 
 def test_use_pallas_with_tp_fallback_rules():
     """Outside a mesh (or when the mesh cannot divide batch/heads):

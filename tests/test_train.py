@@ -271,8 +271,11 @@ def test_best_val_survives_restart(tmp_path):
     ck.wait()
     assert ck.best_val == pytest.approx(0.10)
 
-    # "restart": a fresh Checkpointer over the same directory re-arms
+    # "restart" + resume: re-arm from the sidecar meta (this is what
+    # Trainer.maybe_restore does on the --resume path)
     ck2 = Checkpointer(str(tmp_path / "ck"))
+    assert ck2.best_val == float("inf")  # construction alone stays fresh
+    assert ck2.rearm_best()
     assert ck2.best_val == pytest.approx(0.10)
     assert ck2.best_epoch == 3
 
@@ -289,7 +292,45 @@ def test_best_val_survives_restart(tmp_path):
     ck2.wait()
     best = ck2.restore(template, "best")
     assert int(best.step) == int(worse_state.step)
-    assert Checkpointer(str(tmp_path / "ck")).best_val == pytest.approx(0.05)
+    ck3 = Checkpointer(str(tmp_path / "ck"))
+    assert ck3.rearm_best() and ck3.best_val == pytest.approx(0.05)
+
+
+def test_fresh_run_into_existing_dir_overwrites_best(tmp_path):
+    """A from-scratch rerun (no resume) into an existing run directory must
+    NOT inherit the previous run's watermark — its own best must win even
+    if numerically worse than the stale one."""
+    trainer = _make_trainer()
+    d = _data()
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in d.items()})
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save_best(state, val_loss=0.07, epoch=9)
+    ck.wait()
+
+    # second run, same directory, NOT resuming: starts at inf
+    ck2 = Checkpointer(str(tmp_path / "ck"))
+    new_state = state.replace(step=state.step + 100)
+    ck2.save_best(new_state, val_loss=0.50, epoch=0)  # worse than stale 0.07
+    ck2.wait()
+    template = jax.tree_util.tree_map(np.asarray, state)
+    best = ck2.restore(template, "best")
+    assert int(best.step) == int(new_state.step)  # this run's best won
+
+
+def test_rearm_best_ignores_stale_meta_without_checkpoint(tmp_path):
+    """best_meta.json without a finalized `best` checkpoint behind it (crash
+    between meta write and orbax finalize cannot happen anymore, but stale
+    dirs can) must not arm the watermark."""
+    import json as _json
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    (d / "best_meta.json").write_text(
+        _json.dumps({"best_val": 0.01, "best_epoch": 1}))
+    ck = Checkpointer(str(d))
+    assert not ck.rearm_best()
+    assert ck.best_val == float("inf")
 
 
 def test_watch_every_logs_per_leaf_grad_norms(tmp_path):
