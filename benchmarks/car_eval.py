@@ -34,6 +34,14 @@ def main(args):
     cfg.model.n_hidden = args.n_hidden
     cfg.model.n_layers = args.n_layers
     cfg.model.slice_num = args.slice_num
+    if getattr(args, "smoke", False):
+        # same sizing reset as car_train --smoke: the preset's pinned
+        # 8-head Erwin config cannot split tiny hidden dims
+        cfg.model.n_head = 4
+        cfg.model.enc_num_heads = cfg.model.enc_depths = None
+        cfg.model.dec_num_heads = cfg.model.dec_depths = None
+        cfg.model.erwin_mlp_ratio = None
+        cfg.model.embed = False
 
     train_s, val_s, coef, is_synth = shapenet_car.load_train_val_fold(
         args.data_dir, args.fold_id, savedir=args.save_dir,
@@ -97,6 +105,24 @@ def main(args):
                     bbox_inches="tight", dpi=120)
         print(f"Cd scatter -> {args.out_dir}/cd_scatter.png")
 
+    if args.export_artifact:
+        # AOT serving artifact (haet_tpu/export.py): the eval-mode forward
+        # at this fold's serving shape, runnable later without model code.
+        from haet_tpu.export import save_artifact
+
+        batch = make_batch(val_s[0])
+        variables = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        n = int(np.shape(batch["x"])[1])
+        path = save_artifact(
+            os.path.join(args.export_artifact, f"b1_n{n}"),
+            model, variables, (batch["x"], None),
+            extra_manifest={"fold_id": args.fold_id,
+                            "checkpoint": args.which},
+        )
+        print(f"serving artifact -> {path}")
+
     if args.visualize:
         # Full reference artifact set (visualization.py:20-260): mesh +
         # top-k overlay, per-slice dominance masks, total heatmap, 2D
@@ -139,4 +165,8 @@ if __name__ == "__main__":
                         "as the reference)")
     p.add_argument("--scatter", action="store_true")
     p.add_argument("--out_dir", type=str, default="./runs")
+    p.add_argument("--export_artifact", type=str, default=None,
+                   help="write an AOT StableHLO serving artifact "
+                        "(haet_tpu.export) to this directory")
+    p.add_argument("--smoke", action="store_true")
     main(p.parse_args())

@@ -26,4 +26,4 @@ Public API mirrors the reference ``models`` package
 
 __version__ = "0.1.0"
 
-from . import data, models, ops, parallel, train, utils  # noqa: F401,E402
+from . import data, export, models, ops, parallel, train, utils  # noqa: F401,E402

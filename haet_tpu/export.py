@@ -1,0 +1,214 @@
+"""AOT export and serving artifacts (``jax.export`` / StableHLO).
+
+Deployment path the reference does not have: its eval scripts re-import the
+torch module and reload a ``state_dict`` on a machine with the full source
+tree and CUDA stack (``benchmarks/02-.../eval.py``). Here a trained model is
+exported ONCE to a self-contained StableHLO artifact that any later process
+(or another host, or a C++ serving binary via the XLA runtime) can execute
+without the model code, flax, or the config system — the TPU-native
+equivalent of TorchScript/ONNX export.
+
+Design notes:
+
+- **Fully static shapes, including batch.** Everything under ``jit`` is
+  traced with static shapes — that is what makes the MXU tiling and the
+  ball-grouping permutations compile-time constants. The artifact pins the
+  ENTIRE input signature: batch B, point count N (and grid H/W/D for the
+  structured variants). A symbolic batch dim is deliberately not offered:
+  the Erwin pooling depth follows the reference's flat leaf count ``B*N``
+  (``ops/ball_groups.build_erwin_perms``, mirroring ``balltree.pyx:643``),
+  so batch size is part of the PROGRAM, not just the data — B=1 vs B=4
+  produce different hierarchies, exactly as in the reference. Reference
+  eval serves per-sample (B=1, ``eval.py``); export one artifact per
+  serving signature (``ServingBundle``).
+- **No silent shape adaptation.** Padding a request's point cloud to a
+  bigger exported N would silently change the rep-slice statistics
+  (duplicate points contribute to the eidetic state means — see
+  ``ops/ball_groups.pad_pow2``, which is only output-preserving *inside*
+  the model where the mask travels with the pad). A shape mismatch
+  therefore raises with the list of exported shapes; export one artifact
+  per serving shape instead (``ServingBundle``).
+- **Weights are arguments, not constants.** The artifact takes the
+  variables pytree as its first argument, so a checkpoint refresh does not
+  require re-exporting, and the .bin stays small. Pair it with the orbax
+  checkpoints from :class:`haet_tpu.train.Checkpointer`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+
+__all__ = [
+    "export_apply",
+    "save_artifact",
+    "load_artifact",
+    "ExportedModel",
+    "ServingBundle",
+]
+
+_MANIFEST = "manifest.json"
+_BLOB = "apply.stablehlo.bin"
+
+
+def _apply_fn(model):
+    # Positional (variables, x, fx, ...) with inference semantics: the
+    # exported program is the eval path (dropout off, running BN stats).
+    def fn(variables, *args):
+        return model.apply(variables, *args, train=False)
+
+    return fn
+
+
+def export_apply(
+    model,
+    variables,
+    example_args: Sequence[Any],
+    *,
+    platforms: Sequence[str] | None = None,
+):
+    """Export ``model.apply`` (eval mode) to a ``jax.export.Exported``.
+
+    Args:
+        model: a flax module (any HAET variant).
+        variables: its variables pytree (used for shapes/dtypes only).
+        example_args: positional model inputs, e.g. ``(x, fx)``; arrays
+            with the serving shapes (batch included — see the module
+            docstring for why B is static). ``None`` entries are allowed
+            (e.g. ``fx=None`` models) and are dropped before export.
+        platforms: lowering platforms, e.g. ``("tpu", "cpu")``. Defaults
+            to the current backend. Cross-platform export lets a CPU host
+            build TPU artifacts.
+    """
+    from jax import export as jexport
+
+    args = tuple(a for a in example_args if a is not None)
+    fn = _apply_fn(model)
+    arg_specs = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype),
+        (variables,) + args,
+    )
+    exported = jexport.export(jax.jit(fn), platforms=platforms)(*arg_specs)
+    return exported
+
+
+def _input_shapes(example_args) -> list[list[int]]:
+    return [list(np.shape(a)) for a in example_args if a is not None]
+
+
+def save_artifact(
+    path: str,
+    model,
+    variables,
+    example_args: Sequence[Any],
+    *,
+    platforms: Sequence[str] | None = None,
+    extra_manifest: dict | None = None,
+) -> str:
+    """Export + write a self-contained artifact directory.
+
+    Layout: ``path/manifest.json`` (shapes, dtypes, platforms, model repr)
+    and ``path/apply.stablehlo.bin`` (the serialized Exported). Returns
+    ``path``.
+    """
+    exported = export_apply(
+        model, variables, example_args, platforms=platforms,
+    )
+    os.makedirs(path, exist_ok=True)
+    blob = exported.serialize()
+    with open(os.path.join(path, _BLOB), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "input_shapes": _input_shapes(example_args),
+        "platforms": list(exported.platforms),
+        "model": repr(model),
+        "n_arrays_variables": len(jax.tree_util.tree_leaves(variables)),
+        **(extra_manifest or {}),
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return path
+
+
+class ExportedModel:
+    """A loaded artifact: ``__call__(variables, *args)`` runs the AOT
+    program (under ``jit`` so results live on device and calls fuse into
+    surrounding jitted code)."""
+
+    def __init__(self, exported, manifest: dict):
+        self.exported = exported
+        self.manifest = manifest
+        self._call = jax.jit(exported.call)
+
+    @property
+    def input_shapes(self) -> list[list[int]]:
+        return self.manifest["input_shapes"]
+
+    def _check(self, args):
+        want = self.input_shapes
+        got = [list(np.shape(a)) for a in args if a is not None]
+        if got != want:
+            raise ValueError(
+                f"shape mismatch: artifact was exported for inputs {want}, "
+                f"got {got}. Padding is NOT applied implicitly — duplicate "
+                "points would change the rep-slice statistics, and batch "
+                "size is part of the program (module docstring); export an "
+                "artifact per serving signature (ServingBundle)."
+            )
+
+    def __call__(self, variables, *args):
+        args = tuple(a for a in args if a is not None)
+        self._check(args)
+        return self._call(variables, *args)
+
+
+def load_artifact(path: str) -> ExportedModel:
+    from jax import export as jexport
+
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    with open(os.path.join(path, _BLOB), "rb") as f:
+        exported = jexport.deserialize(bytearray(f.read()))
+    return ExportedModel(exported, manifest)
+
+
+class ServingBundle:
+    """Several exported shapes behind one ``predict``.
+
+    The serving analogue of shape-bucketed TPU inference: each distinct
+    input signature (batch x points x channels, or grid) gets its own AOT
+    program; requests dispatch by exact shape. ``shapes()`` lists what is
+    available; a miss raises (no silent padding — module docstring).
+    """
+
+    def __init__(self, models: Sequence[ExportedModel]):
+        self._by_key = {}
+        for m in models:
+            key = tuple(tuple(s) for s in m.input_shapes)
+            self._by_key[key] = m
+
+    @classmethod
+    def load(cls, root: str) -> "ServingBundle":
+        """Load every artifact directory directly under ``root``."""
+        subdirs = sorted(
+            os.path.join(root, d) for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+        return cls([load_artifact(d) for d in subdirs
+                    if os.path.exists(os.path.join(d, _MANIFEST))])
+
+    def shapes(self):
+        return sorted(self._by_key)
+
+    def predict(self, variables, *args):
+        key = tuple(tuple(np.shape(a)) for a in args if a is not None)
+        m = self._by_key.get(key)
+        if m is None:
+            raise ValueError(
+                f"no artifact for input shapes {key}; "
+                f"available: {self.shapes()}")
+        return m(variables, *args)

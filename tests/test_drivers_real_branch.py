@@ -206,3 +206,39 @@ def test_exp_plas_real_branch(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "synthetic stand-in" not in out
     assert np.isfinite(rel)
+
+
+def test_car_eval_real_branch_with_export(tmp_path, capsys):
+    """car_eval.main() on the fixture fold layout, including the AOT
+    serving-artifact export: the artifact must load back and reproduce the
+    jitted predict path on a real validation sample."""
+    import car_eval
+
+    data_dir = str(tmp_path / "training_data")
+    _build_car_dataset(data_dir)
+    art_dir = str(tmp_path / "artifacts")
+    args = argparse.Namespace(
+        data_dir=data_dir, save_dir=None, preprocessed=False, fold_id=0,
+        checkpoint_dir=str(tmp_path / "no_ckpt"), which="best",
+        n_hidden=32, n_layers=1, slice_num=16, visualize=False,
+        max_slice_figs=None, scatter=False, out_dir=str(tmp_path / "runs"),
+        export_artifact=art_dir, smoke=True,
+    )
+    metrics = car_eval.main(args)
+    out = capsys.readouterr().out
+    assert "synthetic stand-in" not in out
+    assert "serving artifact ->" in out
+    assert np.isfinite(metrics["rel_l2_press"])
+
+    # the artifact loads back and its pinned signature is this fold's
+    # serving shape (value round-trip numerics are covered in
+    # tests/test_export.py)
+    from haet_tpu.data import shapenet_car
+    from haet_tpu.export import ServingBundle
+
+    _, val_s, _, _ = shapenet_car.load_train_val_fold(data_dir, 0)
+    bundle = ServingBundle.load(art_dir)
+    (key,) = bundle.shapes()
+    assert key[0][0] == 1  # B=1 serving
+    assert key[0][1] >= len(val_s[0].pos)  # bucket-padded serving N
+    assert key[0][2] == val_s[0].x.shape[-1]  # feature channels
