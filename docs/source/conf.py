@@ -9,8 +9,8 @@ project = "haet_tpu"
 copyright = "2026, haet_tpu contributors"
 author = "haet_tpu contributors"
 
-release = "0.2"
-version = "0.2.0"
+release = "0.3"
+version = "0.3.0"
 
 import os
 import sys
