@@ -119,7 +119,13 @@ def load_structured_mesh(data_path: str, prefix: str, ntrain: int,
                          ntest: int, h: int, w: int,
                          downsample=(1, 1), crop=None):
     """Airfoil (`NACA_Cylinder_*`) / Pipe (`Pipe_*`) loaders: mesh coords
-    X,Y + field Q (reference exp_airfoil.py:80-96, exp_pipe.py:80-95)."""
+    X,Y + field Q (reference exp_airfoil.py:80-96, exp_pipe.py:80-95).
+
+    ``crop`` trims the downsampled grids to ``(s1, s2)`` exactly like the
+    reference's ``[:, ::r1, ::r2][:, :s1, :s2]`` — the downsample of a raw
+    grid can leave an extra row/column that the reference cuts off.
+    Defaults to ``(h, w)``, the driver's target grid.
+    """
     fx = os.path.join(data_path, f"{prefix}_X.npy")
     fy = os.path.join(data_path, f"{prefix}_Y.npy")
     fq = os.path.join(data_path, f"{prefix}_Q.npy")
@@ -128,9 +134,11 @@ def load_structured_mesh(data_path: str, prefix: str, ntrain: int,
         Y = np.load(fy).astype(np.float32)
         Q = np.load(fq).astype(np.float32)
         r1, r2 = downsample
-        X = X[:, ::r1, ::r2]
-        Y = Y[:, ::r1, ::r2]
-        Q = Q[..., ::r1, ::r2] if Q.ndim == 4 else Q[:, ::r1, ::r2]
+        s1, s2 = crop if crop is not None else (h, w)
+        X = X[:, ::r1, ::r2][:, :s1, :s2]
+        Y = Y[:, ::r1, ::r2][:, :s1, :s2]
+        Q = (Q[..., ::r1, ::r2][..., :s1, :s2] if Q.ndim == 4
+             else Q[:, ::r1, ::r2][:, :s1, :s2])
         pos = np.stack([X, Y], axis=-1)
         if Q.ndim == 4:  # [N, C, H, W] -> pressure channel layout per task
             y = Q[:, -1]

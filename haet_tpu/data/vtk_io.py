@@ -21,6 +21,8 @@ _DTYPES = {
     "char": (">i1", int, 1),
     "unsigned_char": (">u1", int, 1),
     "short": (">i2", int, 2),
+    "unsigned_short": (">u2", int, 2),
+    "unsigned_long": (">u8", int, 8),
     "vtktypeint64": (">i8", int, 8),
 }
 

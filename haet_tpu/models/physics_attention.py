@@ -336,6 +336,17 @@ class _PhysicsAttentionBase(nn.Module):
         pos = (feat - fmin) / (fmax - fmin + 1e-8)
         pos = pos.reshape(B * H, G, d)
 
+        if not self.decode:
+            # decode=False makes ErwinTransformer return coarse (x, pos) —
+            # valid for the standalone Erwin baseline, but the deslice
+            # below needs per-token states; fail with a clear message
+            # instead of a trace-time TypeError on the tuple.
+            raise ValueError(
+                "decode=False is not valid inside physics attention: the "
+                "slice->erwin->deslice core needs per-slice-token states "
+                "(decode=False returns coarse (x, pos) for the standalone "
+                "Erwin baseline only)."
+            )
         s_in = self._constrain(states.reshape(B * H, G, Dh), "bh")
         mask = None
         if G & (G - 1):  # pad non-power-of-two slice counts

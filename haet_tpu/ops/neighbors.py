@@ -140,8 +140,13 @@ def knn_edges_grouped(pos, k: int, *, mask=None, include_self: bool = True,
     R = rotation_matrix(45.0, D).astype(pos_p.dtype)
     perm_rot = median_split_perm(pos_p @ R, levels)
     cp2, ci2, cm2 = gather_cands(perm_rot)
-    # dedupe: drop rotated candidates already present in the main window
-    dup = (ci2[:, :, :, None] == ci1[:, :, None, :]).any(-1)
+    # dedupe: drop rotated candidates already present in the main window.
+    # Compare only against VALID main candidates: boundary-ball windows are
+    # filled with index 0 (window(permb, 0) above), and matching those fill
+    # slots would silently drop every rotated candidate equal to original
+    # point 0 for points in the first/last ball.
+    ci1_valid = jnp.where(cm1, ci1, -1)
+    dup = (ci2[:, :, :, None] == ci1_valid[:, :, None, :]).any(-1)
     cm2 = cm2 & ~dup
 
     cand_pos = jnp.concatenate([cp1, cp2], axis=2)     # [B, Np, 6*ball, D]

@@ -407,8 +407,17 @@ _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
 def eligible(n: int, c: int, num_heads: int, dim: int) -> bool:
-    """Shape gate for the fused path (VMEM working set, head divisibility)."""
-    return (c == dim and c % num_heads == 0 and n <= 2048 and c <= 512
+    """Shape gate for the fused path (VMEM working set, head divisibility).
+
+    The kernel materializes several ``[rows, rows]`` f32 buffers (ball
+    mask, distance matrix, per-head logits/softmax) with ``rows = tb*n``.
+    Cloud folding caps rows at MAX_ROWS only when ``n <= MAX_ROWS``; a
+    single larger cloud cannot be split (tb=1), so ``n`` itself must stay
+    within the VMEM budget: at n=512 the ~6 live row-square buffers are
+    ~6 MB, at n=1024 they exceed the ~16 MB VMEM and Mosaic fails to
+    compile instead of this gate routing to the XLA path.
+    """
+    return (c == dim and c % num_heads == 0 and n <= 512 and c <= 512
             and (n & (n - 1)) == 0)
 
 

@@ -464,6 +464,10 @@ class Trainer:
                 if stopper is not None and val_loss is not None:
                     if stopper.update(val_loss):
                         logger.log({**rec, "early_stop": True})
+                        # the final epoch's state must still reach 'last'
+                        # or resume would silently lose it
+                        if checkpointer is not None:
+                            checkpointer.save_last(state, epoch)
                         break
             logger.log(rec)
             if checkpointer is not None:

@@ -16,6 +16,7 @@ All functions require matplotlib and are host-side only.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 
@@ -42,7 +43,19 @@ def get_slice_weights(model, variables, *args, block: int = -1, **kwargs):
                     walk(v, path + (k,))
 
     walk(inter)
-    found.sort(key=lambda kv: kv[0])
+
+    def natural(path):
+        # numeric-aware ordering: 'blocks_10' must sort after 'blocks_2',
+        # or block=-1 silently returns the wrong layer for 11+ blocks
+        out = []
+        for part in path:
+            for tok in re.split(r"(\d+)", part):
+                # tag tokens so int-vs-str positions stay comparable
+                out.append((0, int(tok), "") if tok.isdigit()
+                           else (1, 0, tok))
+        return out
+
+    found.sort(key=lambda kv: natural(kv[0]))
     if not found:
         raise ValueError("no slice_weights captured (use_pallas path?)")
     return np.asarray(found[block][1])

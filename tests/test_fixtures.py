@@ -250,3 +250,17 @@ def test_native_vtk_reader_through_car_pipeline():
     np.testing.assert_allclose(s_auto.x, s_py.x, atol=1e-6)
     np.testing.assert_allclose(s_auto.y, s_py.y, atol=1e-6)
     np.testing.assert_array_equal(s_auto.surf, s_py.surf)
+
+
+def test_structured_mesh_crop_matches_reference_slicing():
+    """The loader must trim the (downsampled) grids to (h, w) exactly like
+    the reference's ``[:, ::r1, ::r2][:, :s1, :s2]`` (exp_airfoil.py:93,
+    exp_pipe.py:92) — raw grids can carry extra rows/cols past the target."""
+    d = pde_datasets.load_structured_mesh(
+        os.path.join(DATA, "pipe"), "Pipe", ntrain=3, ntest=1, h=11, w=7)
+    assert (d["h"], d["w"]) == (11, 7)
+    X, Y, Q = mf.pipe_arrays()
+    np.testing.assert_allclose(
+        d["train"]["y"][0], Q[0, :11, :7].reshape(-1), rtol=1e-6)
+    np.testing.assert_allclose(
+        d["train"]["pos"][0, :, 0], X[0, :11, :7].reshape(-1), rtol=1e-6)

@@ -100,3 +100,50 @@ def test_segment_ops_match_torch_scatter_semantics():
     np.testing.assert_allclose(ours_mean, ref_mean, rtol=1e-5, atol=1e-6)
     # empty segment (4) gives zeros, matching torch_scatter
     assert (ours_mean[4] == 0).all()
+
+
+def test_grouped_knn_boundary_ball_keeps_edges_to_point_zero():
+    """Regression: the rotated-vs-main dedup must only compare against
+    VALID main candidates. Boundary-ball windows are filled with index 0,
+    and a dedup over the raw filled indices dropped every rotated candidate
+    equal to original point 0 for queries in the first/last main ball —
+    silently losing true kNN edges (and thus MPNN messages) to point 0.
+
+    Construction: q (index 1) sits in main ball 0; its true nearest
+    neighbor is point 0, pushed 3 balls away in the main (x-sorted)
+    grouping by spacer points that are near in x but far in y, while the
+    45-degree rotated grouping puts 0 adjacent to q. The edge q->0 is then
+    reachable ONLY through the rotated grouping, where the old dedup
+    discarded it."""
+    import math
+
+    from haet_tpu.ops.ball_groups import median_split_perm
+
+    rng = np.random.RandomState(0)
+    p0 = np.array([[2.0, 0.0, 0.0]], np.float32)                  # index 0
+    q = np.array([[1.0, 0.0, 0.0]], np.float32)                   # index 1
+    mates = np.column_stack([0.1 + 0.8 * rng.rand(63),
+                             5 + 0.01 * rng.rand(63),
+                             0.01 * rng.rand(63)]).astype(np.float32)
+    spacer = np.column_stack([1.01 + 0.98 * rng.rand(130),
+                              5 + 0.01 * rng.rand(130),
+                              0.01 * rng.rand(130)]).astype(np.float32)
+    bg = np.column_stack([4 + 6 * rng.rand(61), rng.rand(61),
+                          0.01 * rng.rand(61)]).astype(np.float32)
+    pos = np.concatenate([p0, q, mates, spacer, bg])[None]        # 256 pts
+    n, ball = 256, 64
+
+    # the construction's premise: q in the first main ball, point 0 beyond
+    # q's +-1-ball window (otherwise this test wouldn't exercise the path)
+    levels = int(math.log2(n)) - int(math.log2(ball))
+    perm = np.asarray(median_split_perm(jnp.asarray(pos), levels))[0]
+    balls = perm.reshape(-1, ball)
+    assert int(np.where(balls == 1)[0][0]) == 0
+    assert int(np.where(balls == 0)[0][0]) >= 2
+
+    k = 4
+    idx_b, _ = knn_edges_brute(jnp.asarray(pos), k)
+    assert 0 in set(np.asarray(idx_b[0, 1]))  # 0 is a true kNN of q
+    idx_g, val_g = knn_edges_grouped(jnp.asarray(pos), k, ball=ball)
+    got = set(np.asarray(idx_g[0, 1])[np.asarray(val_g[0, 1])])
+    assert 0 in got

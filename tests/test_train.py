@@ -410,3 +410,36 @@ def test_trainer_fit_with_prefetcher():
     )
     final = float(trainer.eval_step(state, d)["loss"])
     assert np.isfinite(final)
+
+
+def test_early_stop_still_saves_last_checkpoint(tmp_path):
+    """When early stopping breaks the epoch loop, the final epoch's state
+    must still reach 'last' — or resume would silently lose it."""
+    from haet_tpu.data import batch_iter
+
+    import json as _json
+
+    from haet_tpu.train import MetricsLogger
+
+    # a huge min_delta makes every improvement count as "no improvement",
+    # so patience=1 forces the stop on the second eval
+    trainer = _make_trainer(early_stop_patience=1, early_stop_min_delta=1e9)
+    d = _data()
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in d.items()})
+    ck = Checkpointer(str(tmp_path / "ck"))
+    log_path = str(tmp_path / "m.jsonl")
+    final = trainer.fit(
+        state, batch_iter(d, 8, shuffle=False),
+        eval_batches=batch_iter(d, 8, shuffle=False),
+        epochs=10, checkpointer=ck,
+        logger=MetricsLogger(path=log_path, echo=False),
+    )
+    recs = [_json.loads(line) for line in open(log_path)]
+    assert any(r.get("early_stop") for r in recs)  # the stop DID trigger
+    assert int(final.step) < 10 * 8  # and the loop really broke early
+    ck.wait()
+    template = jax.tree_util.tree_map(np.asarray, final)
+    last = ck.restore(template, "last")
+    assert last is not None
+    assert int(last.step) == int(final.step)  # the epoch that triggered the stop
