@@ -253,3 +253,85 @@ def test_mpnn_message_order_matches_reference():
     # with the sender block zeroed, point 0's features must not leak into
     # OTHER points' updates (no self edge)
     np.testing.assert_allclose(out_a[0, 1:], out_b[0, 1:], atol=1e-5)
+
+
+def test_mpnn_grad_matches_torch_oracle():
+    """Gradient-level MPNN oracle: dL/dh0 and dL/dparams of the capped-
+    degree dense-slab redesign must match the torch restatement of the
+    reference math (mpnn.py:48-75) on the identical edge set, including
+    the detached edge_attr (reference computes pos differences outside the
+    autograd tape; here lax.stop_gradient, erwin.py:380)."""
+    import torch.nn.functional as F
+
+    from haet_tpu.models.erwin import MPNN
+    from haet_tpu.ops.neighbors import knn_edges_brute
+
+    Bb, Nn, K, Cc = 2, 24, 6, 8
+    rng = np.random.RandomState(9)
+    h0 = rng.randn(Bb, Nn, Cc).astype(np.float32)
+    pos = rng.rand(Bb, Nn, D).astype(np.float32)
+    idx, valid = knn_edges_brute(jnp.asarray(pos), K)
+    valid = np.array(valid)
+    valid[:, ::4, -1] = False
+    idx_np, valid_np = np.asarray(idx), valid
+
+    m = MPNN(dim=Cc, mp_steps=2, dimensionality=D)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(h0), jnp.asarray(pos),
+               jnp.asarray(idx_np), jnp.asarray(valid_np))
+
+    def loss_jax(params, h):
+        out = m.apply({"params": params}, h, jnp.asarray(pos),
+                      jnp.asarray(idx_np), jnp.asarray(valid_np))
+        return jnp.sum(out ** 2)
+
+    gp_jax, gh_jax = jax.jit(jax.grad(loss_jax, argnums=(0, 1)))(
+        v["params"], jnp.asarray(h0))
+
+    # torch restatement with autograd
+    p = v["params"]
+    tp = {}
+    for step in range(2):
+        for kind in ("message", "update"):
+            for leaf in ("kernel", "bias"):
+                key = f"{kind}_{step}"
+                tp[(key, leaf)] = t(np.asarray(p[key][leaf])).clone(
+                    ).requires_grad_(True)
+
+    def ln(x):
+        return F.layer_norm(x, (x.shape[-1],), eps=1e-5)
+
+    total = None
+    ht_leaves = []
+    for b in range(Bb):
+        rows, cols = [], []
+        for i in range(Nn):
+            for kk in range(K):
+                if valid_np[b, i, kk]:
+                    rows.append(int(idx_np[b, i, kk]))
+                    cols.append(i)
+        row, col = torch.tensor(rows), torch.tensor(cols)
+        ht0 = t(h0[b]).clone().requires_grad_(True)
+        ht_leaves.append(ht0)
+        pt = t(pos[b])
+        edge_attr = (pt[row] - pt[col]).detach()
+        ht = ht0
+        for step in range(2):
+            wm, bm = tp[(f"message_{step}", "kernel")], tp[(f"message_{step}", "bias")]
+            wu, bu = tp[(f"update_{step}", "kernel")], tp[(f"update_{step}", "bias")]
+            msgs = ln(F.gelu(torch.cat([ht[row], ht[col], edge_attr], -1) @ wm + bm))
+            agg = torch.zeros(Nn, Cc).index_add(0, col, msgs)
+            cnt = torch.zeros(Nn).index_add(
+                0, col, torch.ones(len(cols))).clamp(min=1.0)
+            ht = ht + ln(torch.cat([ht, agg / cnt[:, None]], -1) @ wu + bu)
+        lb = torch.sum(ht ** 2)
+        total = lb if total is None else total + lb
+    total.backward()
+
+    for b in range(Bb):
+        np.testing.assert_allclose(np.asarray(gh_jax[b]),
+                                   ht_leaves[b].grad.numpy(),
+                                   rtol=2e-4, atol=2e-5)
+    for (key, leaf), tensor in tp.items():
+        np.testing.assert_allclose(np.asarray(gp_jax[key][leaf]),
+                                   tensor.grad.numpy(),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"{key}/{leaf}")
