@@ -393,12 +393,30 @@ def torch_ln_b(x, p):
 
 def torch_haet_b(x, fx, params, captured, *, variant, n_layers, heads, g,
                  dim, erwin_cfg, hw=None, always_placeholder=False,
-                 train=False):
+                 train=False, T=None):
     """Full HAET forward (batched oracle) on a torch parameter tree."""
     h = torch.cat([x, fx], dim=-1) if fx is not None else x
     h = torch_mlp_b(h, params["preprocess"])
     if always_placeholder or fx is None:
         h = h + tt(params["placeholder"])
+    if T is not None:
+        # time conditioning (reference Irregular_Mesh.py:238-241,369-372):
+        # sinusoidal timestep_embedding -> Linear -> SiLU -> Linear, added
+        # to fx. T enters outside autograd (integer-like times).
+        half = dim // 2
+        freqs = torch.exp(-math.log(10000.0)
+                          * torch.arange(half, dtype=torch.float32) / half)
+        targs = T.reshape(-1)[:, None].float() * freqs[None]
+        emb = torch.cat([torch.cos(targs), torch.sin(targs)], dim=-1)
+        if dim % 2:
+            emb = torch.cat([emb, torch.zeros_like(emb[:, :1])], dim=-1)
+        emb = emb[:, None, :]
+        emb = emb @ tt(params["time_fc1"]["kernel"]) + tt(
+            params["time_fc1"]["bias"])
+        emb = F.silu(emb)
+        emb = emb @ tt(params["time_fc2"]["kernel"]) + tt(
+            params["time_fc2"]["bias"])
+        h = h + emb
     for i in range(n_layers):
         bp = params[f"blocks_{i}"]
         perms = captured[i]
@@ -432,7 +450,7 @@ def _capture_perms(monkeypatch):
     return captured
 
 
-def _grad_parity_case(monkeypatch, variant, train):
+def _grad_parity_case(monkeypatch, variant, train, with_time=False):
     rng = np.random.RandomState(42)
     erwin_cfg = dict(heads=(1, 2), dec_heads=(1,), ball_sizes=BALL_SIZES,
                      strides=STRIDES, depths=(2, 2), dec_depths=(2,))
@@ -461,8 +479,11 @@ def _grad_parity_case(monkeypatch, variant, train):
         fx_np = rng.randn(B, N, 1).astype(np.float32)
         hw, always_ph = None, True
 
+    T_np = (np.array([[3.0], [7.0]], np.float32)[:B]
+            if with_time else None)
+    T = jnp.asarray(T_np) if with_time else None
     x, fx = jnp.asarray(x_np), jnp.asarray(fx_np)
-    v = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx, T)
     r_np = rng.randn(B, N, 3).astype(np.float32)
     r = jnp.asarray(r_np)
 
@@ -470,10 +491,10 @@ def _grad_parity_case(monkeypatch, variant, train):
         variables = {"params": params, **{k: v[k] for k in v
                                           if k != "params"}}
         if train:
-            out, _ = model.apply(variables, x, fx, train=True,
+            out, _ = model.apply(variables, x, fx, T, train=True,
                                  mutable=["batch_stats"])
         else:
-            out = model.apply(variables, x, fx)
+            out = model.apply(variables, x, fx, T)
         return jnp.sum(out * r)
 
     captured = _capture_perms(monkeypatch)
@@ -490,7 +511,8 @@ def _grad_parity_case(monkeypatch, variant, train):
     out_t = torch_haet_b(
         xt, fxt, tp, captured, variant=variant, n_layers=2, heads=N_HEAD,
         g=G, dim=N_HIDDEN, erwin_cfg=erwin_cfg, hw=hw,
-        always_placeholder=always_ph, train=train)
+        always_placeholder=always_ph, train=train,
+        T=torch.from_numpy(T_np) if with_time else None)
     loss_t = (out_t * torch.from_numpy(r_np)).sum()
     # forward parity first (sanity for the batched restatement)
     np.testing.assert_allclose(out_jax, loss_t.item(), rtol=2e-4)
@@ -556,6 +578,13 @@ def test_grad_parity_3d_eval(monkeypatch):
 
 def test_grad_parity_3d_train(monkeypatch):
     _grad_parity_case(monkeypatch, "conv3d", train=True)
+
+
+def test_grad_parity_irregular_time_conditioned(monkeypatch):
+    """The plasticity path: T enters via timestep_embedding + time_fc MLP
+    (haet.py:202-215 == reference Irregular_Mesh.py:369-372); time_fc1/2
+    gradients must flow and match."""
+    _grad_parity_case(monkeypatch, "linear", train=False, with_time=True)
 
 
 def test_grad_parity_irregular_train(monkeypatch):
