@@ -80,6 +80,11 @@ def add_mesh_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1,
                    help="head tensor-parallel mesh size (requires "
                         "n_heads %% tp == 0)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join the JAX process group first (TPU pods "
+                        "autodetect; elsewhere set HAET_COORDINATOR / "
+                        "HAET_NUM_PROCESSES / HAET_PROCESS_ID). The mesh "
+                        "then spans ALL processes' devices.")
     return p
 
 
@@ -87,6 +92,10 @@ def make_mesh_from_args(cfg, args):
     """Build the (dp, tp) mesh and enable the model's head-TP sharding
     constraints when tp > 1. Returns the mesh (or None) to pass to
     Trainer(mesh=...). Mutates cfg.model.shard_axes."""
+    if getattr(args, "multihost", False):
+        from haet_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
     if not getattr(args, "dp", 0) and getattr(args, "tp", 1) <= 1:
         return None
     from haet_tpu.parallel import make_mesh

@@ -1,3 +1,9 @@
+from .distributed import (  # noqa: F401
+    global_mesh,
+    init_distributed,
+    process_batch_slice,
+    shard_host_batch,
+)
 from .mesh import (  # noqa: F401
     batch_sharding,
     head_sharding,

@@ -1,0 +1,80 @@
+"""Worker for tests/test_distributed.py: one process of a CPU cluster.
+
+Joins the group, builds the global (dp,) mesh, loads ONLY this process's
+slice of a deterministic global batch, runs one Trainer train step on a
+tiny HAET model, and prints loss + parameter-gradient fingerprints for the
+parent test to compare across processes and against single-process truth.
+
+Run: python distributed_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    from haet_tpu.parallel.distributed import (
+        global_mesh,
+        init_distributed,
+        process_batch_slice,
+        shard_host_batch,
+    )
+
+    multi = init_distributed(coordinator=f"127.0.0.1:{port}",
+                             num_processes=nproc, process_id=pid)
+    assert multi == (nproc > 1)
+    mesh = global_mesh()  # dp over all processes' devices
+
+    import jax.numpy as jnp
+
+    from haet_tpu.models import HAETransolver_Irregular_Mesh
+    from haet_tpu.train import Trainer
+    from haet_tpu.utils.config import TrainConfig
+
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=1, n_layers=1, n_hidden=16,
+        n_head=2, slice_num=8, mlp_ratio=1)
+    cfg = TrainConfig(lr=1e-3, schedule="constant", weight_decay=0.0)
+    trainer = Trainer(
+        model=model,
+        loss_fn=lambda out, b: (jnp.mean((out - b["y"]) ** 2), {}),
+        cfg=cfg, total_steps=4, mesh=mesh,
+    )
+
+    # deterministic GLOBAL batch; this process materializes only its slice
+    gb = 8
+    rng = np.random.RandomState(0)
+    x = rng.rand(gb, 64, 3).astype(np.float32)
+    fx = rng.randn(gb, 64, 1).astype(np.float32)
+    y = rng.randn(gb, 64, 1).astype(np.float32)
+    sl = process_batch_slice(gb)
+    local = {"x": x[sl], "fx": fx[sl], "y": y[sl]}
+    batch = shard_host_batch(local, mesh)
+
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+
+    # fingerprints: loss + a few fully-replicated gradient-derived values
+    loss = float(metrics["loss"])
+    gnorm = float(metrics.get("grad_norm", -1.0))
+    psum = float(
+        sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(
+            state.params)))
+    print(f"RESULT {pid} loss={loss:.10f} gnorm={gnorm:.10f} "
+          f"psum={psum:.10f} nglobal={len(jax.devices())} "
+          f"nlocal={len(jax.local_devices())}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
