@@ -127,3 +127,33 @@ def make_mesh_from_args(cfg, args):
     print(f"[mesh] dp={mesh.shape['dp']} tp={mesh.shape['tp']} "
           f"({len(mesh.devices.ravel())} devices)")
     return mesh
+
+
+def custom_loop_mesh(mesh):
+    """Shared scaffolding for the custom-loop drivers (exp_ns / exp_plas):
+    returns ``(mesh_ctx, place, put_state)`` — trace/execute context, batch
+    placement (dp-sharded, multi-process aware via
+    :func:`haet_tpu.parallel.mesh.shard_batch`), and state replication.
+    Keeping this in one place stops the two drivers drifting (they once
+    diverged on batch_stats handling)."""
+    import contextlib
+
+    mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
+
+    def place(batch):
+        if mesh is None:
+            return batch
+        from haet_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(batch, mesh)
+
+    def put_state(state):
+        if mesh is None:
+            return state
+        import jax
+
+        from haet_tpu.parallel.mesh import replicate
+
+        return jax.device_put(state, replicate(mesh))
+
+    return mesh_ctx, place, put_state

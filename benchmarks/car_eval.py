@@ -80,7 +80,10 @@ def main(args):
         from haet_tpu.data.car_metrics import drag_coefficient
         cds_p, cds_g = [], []
         for s_ in val_s:
-            if s_.quads is None:
+            # surf_slice=None would make pos[s_.surf_slice] a newaxis
+            # index (silently wrong Cd), not an error — skip like
+            # evaluate() does
+            if s_.quads is None or s_.surf_slice is None:
                 continue
             batch = make_batch(s_)
             out = trainer.predict(state, batch)

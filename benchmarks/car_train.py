@@ -173,8 +173,13 @@ def main(args):
     if args.resume:
         state = trainer.maybe_restore(state, ckpt)
 
+    # one RandomState OUTSIDE the factory: fit() re-calls train_batches()
+    # every epoch, and a re-seeded state would replay the identical sample
+    # order for all epochs (the reference's DataLoader reshuffles per epoch)
+    shuffle_rng = np.random.RandomState(0)
+
     def train_batches():
-        order = np.random.RandomState(0).permutation(len(train_s))
+        order = shuffle_rng.permutation(len(train_s))
         for i in order:
             yield make_batch(train_s[i])
 

@@ -94,8 +94,13 @@ def main(args):
     logger = MetricsLogger(os.path.join(args.out_dir, "erwin_metrics.jsonl"))
     ckpt = Checkpointer(os.path.join(args.out_dir, "checkpoints", "erwin_car"))
 
+    # one RandomState OUTSIDE the factory: fit() re-calls train_batches()
+    # every epoch, and a re-seeded state would replay the identical sample
+    # order for all epochs (the reference's DataLoader reshuffles per epoch)
+    shuffle_rng = np.random.RandomState(0)
+
     def train_batches():
-        order = np.random.RandomState(0).permutation(len(train_s))
+        order = shuffle_rng.permutation(len(train_s))
         for i in order:
             yield make_batch(train_s[i])
 

@@ -60,6 +60,12 @@ def main(args):
                           batch_size=args.batch_size),
     )
     cfg = apply_model_args(cfg, args)
+    # apply_model_args would overwrite use_checkpoint with the CLI value;
+    # when the flag was not given (None default set below), full-size 32^3
+    # runs default to remat, an explicit --use_checkpoint 0/1 always wins.
+    cfg.model.use_checkpoint = (
+        (not args.smoke) if args.use_checkpoint is None
+        else bool(args.use_checkpoint))
     mesh = make_mesh_from_args(cfg, args)
     cfg.model.H = cfg.model.W = cfg.model.D = s
     cfg.model.ref = 4
@@ -108,7 +114,10 @@ def main(args):
 
 
 if __name__ == "__main__":
-    args = base_parser("HAET-TPU 3D volume").parse_args()
+    p = base_parser("HAET-TPU 3D volume")
+    p.set_defaults(use_checkpoint=None)  # None = "not given" -> remat on
+    # full-size runs (see main); explicit 0/1 always wins
+    args = p.parse_args()
     if args.smoke:
         shrink_for_smoke(args)
     main(args)

@@ -54,6 +54,7 @@ def build(args):
     cfg.model.unified_pos = bool(args.unified_pos)
     cfg.model.mlp_ratio = args.mlp_ratio
     cfg.model.bf16 = bool(args.bf16)
+    cfg.train.max_grad_norm = getattr(args, "max_grad_norm", None)
     return cfg
 
 
@@ -161,6 +162,9 @@ if __name__ == "__main__":
     p.add_argument("--n-heads", type=int, default=8, dest="n_heads")
     p.add_argument("--slice_num", type=int, default=64)
     p.add_argument("--mlp_ratio", type=int, default=1)
+    p.add_argument("--max_grad_norm", type=float, default=None,
+                   help="global grad-norm clip (reference HAET_Darcy.sh "
+                        "passes 0.1)")
     p.add_argument("--downsample", type=int, default=5)
     p.add_argument("--unified_pos", type=int, default=0)
     p.add_argument("--ntrain", type=int, default=1000)

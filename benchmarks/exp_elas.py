@@ -74,8 +74,10 @@ def main(args):
 
 
 if __name__ == "__main__":
-    args = base_parser("HAET-TPU Elasticity").parse_args()
-    args.batch_size = 1 if not args.smoke else args.batch_size
+    p = base_parser("HAET-TPU Elasticity")
+    p.set_defaults(batch_size=1)  # reference HAETransolver_Elas.sh; an
+    # explicit --batch-size (e.g. for --dp) is respected
+    args = p.parse_args()
     if args.smoke:
         shrink_for_smoke(args)
     main(args)

@@ -108,22 +108,10 @@ def main(args):
     n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
     print(f"Total Trainable Params: {n_params}")
 
-    # dp/tp sharding for the custom rollout loop: replicate state, shard
-    # batches over dp, and trace/execute under the mesh context (required
-    # by the model's TP constraints when --tp > 1).
-    mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
-    if mesh is not None:
-        from haet_tpu.parallel.mesh import replicate
-
-        state = jax.device_put(state, replicate(mesh))
-
-    def place(batch):
-        if mesh is None:
-            return batch
-        from haet_tpu.parallel.mesh import batch_sharding
-
-        return {k: jax.device_put(v, batch_sharding(mesh))
-                for k, v in batch.items()}
+    # dp/tp sharding for the custom loop — shared scaffolding (_common)
+    from _common import custom_loop_mesh
+    mesh_ctx, place, put_state = custom_loop_mesh(mesh)
+    state = put_state(state)
 
     @jax.jit
     def train_step(state, batch, rng):

@@ -5,8 +5,9 @@ queried for each t in [0, 20) with ``model(x, fx, T=t)`` (:204-216).
 
 The reference's committed status for this task is "training never starts
 after 8h" (overall_results.md:10) — the per-t python loop around a compiled
-graph thrashes torch.compile. Here the 20 time queries run inside one
-``jax.vmap`` over T under a single jit, so the whole epoch is one program.
+graph thrashes torch.compile. Here the 20 time queries run under a single
+jit: eval vmaps over T; train runs them as one ``lax.scan`` so the
+BatchNorm running stats advance per query like the reference's t-loop.
 """
 
 from __future__ import annotations
@@ -53,35 +54,55 @@ def main(args):
     ts = jnp.arange(t_steps, dtype=jnp.float32)
 
     def all_t_forward(params, batch_stats, batch, train_mode, rng):
-        """[T] queries vmapped: out [T, B, N, 4]."""
-        variables = {"params": params}
+        """[T] queries: out [T, B, N, 4] plus the updated batch_stats.
+
+        Eval vmaps over T (stats frozen). Train-mode BatchNorm must UPDATE
+        the running stats, so the T queries run as a lax.scan carrying
+        batch_stats — the same sequential semantics as the reference's
+        python t-loop over the torch model (exp_plas.py:204-216), where
+        each query advances the running averages.
+        """
         has_bn = bool(jax.tree_util.tree_leaves(batch_stats))
+
+        def T_of(t):
+            return jnp.full((batch["pos"].shape[0], 1), t)
+
+        if train_mode and has_bn:
+            def step(bs_carry, t):
+                out, upd = model.apply(
+                    {"params": params, "batch_stats": bs_carry},
+                    batch["pos"], batch["fx"], T_of(t),
+                    mutable=["batch_stats"], train=True,
+                    rngs={"dropout": rng},
+                )
+                return upd["batch_stats"], out
+            new_bs, outs = jax.lax.scan(step, batch_stats, ts)
+            return outs, new_bs
+
+        variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
 
         def one_t(t):
-            T = jnp.full((batch["pos"].shape[0], 1), t)
             kwargs = dict(train=train_mode)
             if train_mode:
                 kwargs["rngs"] = {"dropout": rng}
-            if has_bn and train_mode:
-                out, _ = model.apply(variables, batch["pos"], batch["fx"], T,
-                                     mutable=["batch_stats"], **kwargs)
-                return out
-            return model.apply(variables, batch["pos"], batch["fx"], T,
+            return model.apply(variables, batch["pos"], batch["fx"], T_of(t),
                                **kwargs)
 
-        return jax.vmap(one_t)(ts)
+        return jax.vmap(one_t)(ts), batch_stats
 
     def loss_of(params, batch_stats, batch, train_mode, rng):
-        out = all_t_forward(params, batch_stats, batch, train_mode, rng)
+        out, new_bs = all_t_forward(params, batch_stats, batch, train_mode,
+                                    rng)
         # y: [B, N, T, 4] -> [T, B, N, 4]
         y = jnp.transpose(batch["y"], (2, 0, 1, 3))
         b = y.shape[1]
-        return rel_l2(
+        loss = rel_l2(
             jnp.transpose(out, (1, 0, 2, 3)).reshape(b, -1),
             jnp.transpose(y, (1, 0, 2, 3)).reshape(b, -1),
         ) / b
+        return loss, new_bs
 
     steps = max(1, len(train["y"]) // bs)
     tx = make_optimizer(cfg.train, steps * cfg.train.epochs)
@@ -101,36 +122,29 @@ def main(args):
     n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
     print(f"Total Trainable Params: {n_params}")
 
-    # dp/tp sharding for the custom loop (see exp_ns.py)
-    mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
-    if mesh is not None:
-        from haet_tpu.parallel.mesh import replicate
-
-        state = jax.device_put(state, replicate(mesh))
-
-    def place(batch):
-        if mesh is None:
-            return batch
-        from haet_tpu.parallel.mesh import batch_sharding
-
-        return {k: jax.device_put(v, batch_sharding(mesh))
-                for k, v in batch.items()}
+    # dp/tp sharding for the custom loop — shared scaffolding (_common)
+    from _common import custom_loop_mesh
+    mesh_ctx, place, put_state = custom_loop_mesh(mesh)
+    state = put_state(state)
 
     @jax.jit
     def train_step(state, batch, rng):
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_of(p, state.batch_stats, batch, True, rng)
+        (loss, new_bs), grads = jax.value_and_grad(
+            lambda p: loss_of(p, state.batch_stats, batch, True, rng),
+            has_aux=True,
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         return state.replace(
             step=state.step + 1,
             params=optax.apply_updates(state.params, updates),
+            batch_stats=new_bs,
             opt_state=opt_state,
         ), loss
 
     @jax.jit
     def eval_step(state, batch):
-        return loss_of(state.params, state.batch_stats, batch, False, None)
+        loss, _ = loss_of(state.params, state.batch_stats, batch, False, None)
+        return loss
 
     logger = MetricsLogger(os.path.join(args.out_dir, "plas_metrics.jsonl"))
     ckpt = Checkpointer(os.path.join(args.out_dir, "checkpoints", "plas"))
@@ -163,8 +177,9 @@ def main(args):
 
 
 if __name__ == "__main__":
-    args = base_parser("HAET-TPU Plasticity").parse_args()
-    args.batch_size = 8
+    p = base_parser("HAET-TPU Plasticity")
+    p.set_defaults(batch_size=8)  # reference HAETransolver_Plas.sh
+    args = p.parse_args()
     if args.smoke:
         shrink_for_smoke(args)
     main(args)

@@ -7,6 +7,16 @@ timing), at the exact bench shapes (clouds folded: rows=256, C=32, h=4).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from haet_tpu.utils.env import apply_platform_override  # noqa: E402
+
+apply_platform_override()
+
+
 import functools
 import time
 

@@ -4,5 +4,5 @@ python benchmarks/exp_darcy.py \
   --data_path "${DATA_DIR:-./data/fno}" \
   --epochs 500 --lr 1e-3 --batch-size 4 \
   --n-hidden 128 --n-layers 8 --n-heads 8 --slice_num 64 \
-  --unified_pos 1 --out_dir runs/darcy
+  --max_grad_norm 0.1 --downsample 5 --unified_pos 1 --out_dir runs/darcy
 # multi-chip: append --dp N (data parallel; batch %% N == 0) and/or --tp N (head tensor parallel; n_heads %% N == 0)

@@ -2,7 +2,8 @@
 # Pipe — canonical config (reference scripts/HAETransolver_Pipe.sh)
 python benchmarks/exp_pipe.py \
   --data_path "${DATA_DIR:-./data/fno}" \
-  --epochs 500 --lr 1e-3 --batch-size 4 \
+  --epochs 500 --lr 1e-3 --batch-size 8 --mlp_ratio 2 \
   --n-hidden 128 --n-layers 8 --n-heads 8 --slice_num 64 \
+  --max_grad_norm 0.1 \
   --out_dir runs/pipe
 # multi-chip: append --dp N (data parallel; batch %% N == 0) and/or --tp N (head tensor parallel; n_heads %% N == 0)

@@ -22,6 +22,21 @@ import numpy as np
 from . import synthetic
 
 
+def _find(data_path: str, task: str, filename: str) -> str:
+    """Resolve a dataset file: ``data_path/filename`` directly, or the
+    per-task subdirectory layout ``data_path/<task>/filename`` written by
+    ``benchmarks/scripts/fetch_datasets.py``. Returns the first existing
+    path (or the direct join, for the caller's exists() fallback check)."""
+    direct = os.path.join(data_path, filename)
+    if os.path.exists(direct):
+        return direct
+    sub = os.path.join(data_path, task, filename)
+    if os.path.exists(sub):
+        return sub
+    return direct
+
+
+
 def _loadmat(path: str):
     import scipy.io as scio
     try:
@@ -39,8 +54,8 @@ def load_darcy(data_path: str, ntrain: int = 1000, ntest: int = 200,
     reference exp_darcy.py:71-111.
     """
     s = int((421 - 1) / downsample) + 1
-    train_file = os.path.join(data_path, "piececonst_r421_N1024_smooth1.mat")
-    test_file = os.path.join(data_path, "piececonst_r421_N1024_smooth2.mat")
+    train_file = _find(data_path, "darcy", "piececonst_r421_N1024_smooth1.mat")
+    test_file = _find(data_path, "darcy", "piececonst_r421_N1024_smooth2.mat")
     if os.path.exists(train_file) and os.path.exists(test_file):
         r = downsample
         tr = _loadmat(train_file)
@@ -82,7 +97,7 @@ def load_darcy(data_path: str, ntrain: int = 1000, ntest: int = 200,
 def load_ns(data_path: str, ntrain: int = 1000, ntest: int = 200,
             t_in: int = 10, t_out: int = 10):
     """reference exp_ns.py: 64x64 vorticity, autoregressive 10->10."""
-    f = os.path.join(data_path, "NavierStokes_V1e-5_N1200_T20.mat")
+    f = _find(data_path, "ns", "NavierStokes_V1e-5_N1200_T20.mat")
     s = 64
     if os.path.exists(f):
         d = _loadmat(f)
@@ -126,9 +141,10 @@ def load_structured_mesh(data_path: str, prefix: str, ntrain: int,
     grid can leave an extra row/column that the reference cuts off.
     Defaults to ``(h, w)``, the driver's target grid.
     """
-    fx = os.path.join(data_path, f"{prefix}_X.npy")
-    fy = os.path.join(data_path, f"{prefix}_Y.npy")
-    fq = os.path.join(data_path, f"{prefix}_Q.npy")
+    task = "pipe" if prefix.lower().startswith("pipe") else "airfoil"
+    fx = _find(data_path, task, f"{prefix}_X.npy")
+    fy = _find(data_path, task, f"{prefix}_Y.npy")
+    fq = _find(data_path, task, f"{prefix}_Q.npy")
     if all(os.path.exists(p) for p in (fx, fy, fq)):
         X = np.load(fx).astype(np.float32)
         Y = np.load(fy).astype(np.float32)
@@ -165,8 +181,8 @@ def load_structured_mesh(data_path: str, prefix: str, ntrain: int,
 
 def load_elasticity(data_path: str, ntrain: int = 1000, ntest: int = 200):
     """reference exp_elas.py:73-85: Random_UnitCell point clouds."""
-    fxy = os.path.join(data_path, "Random_UnitCell_XY_10.npy")
-    fs = os.path.join(data_path, "Random_UnitCell_sigma_10.npy")
+    fxy = _find(data_path, "elasticity", "Random_UnitCell_XY_10.npy")
+    fs = _find(data_path, "elasticity", "Random_UnitCell_sigma_10.npy")
     if os.path.exists(fxy) and os.path.exists(fs):
         xy = np.load(fxy).astype(np.float32)      # [npts, 2, N]
         sigma = np.load(fs).astype(np.float32)    # [npts, N]
@@ -188,7 +204,7 @@ def load_elasticity(data_path: str, ntrain: int = 1000, ntest: int = 200):
 
 def load_plasticity(data_path: str, ntrain: int = 900, ntest: int = 80):
     """reference exp_plas.py: 101x31 grid, T=20 frames, out_dim=4."""
-    f = os.path.join(data_path, "plas_N987_T20.mat")
+    f = _find(data_path, "plasticity", "plas_N987_T20.mat")
     h, w, t = 101, 31, 20
     if os.path.exists(f):
         d = _loadmat(f)

@@ -47,6 +47,23 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(tree, mesh: Mesh):
-    """Device-put every array in ``tree`` with its batch axis over dp."""
+    """Shard every array in ``tree`` with its batch axis over dp.
+
+    Process-aware: under a multi-process (multi-host) mesh, a host-local
+    numpy array is treated as THIS process's dp-slice of the global batch
+    (``jax.make_array_from_process_local_data`` — the fit()-path analogue
+    of :func:`haet_tpu.parallel.distributed.shard_host_batch`). Arrays the
+    caller already distributed across devices pass through untouched.
+    """
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    multiproc = jax.process_count() > 1
+
+    def put(x):
+        if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
+            return x  # already globally placed by the caller
+        x = np.asarray(x)
+        if multiproc:
+            return jax.make_array_from_process_local_data(s, x)
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, tree)

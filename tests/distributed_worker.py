@@ -63,7 +63,10 @@ def main():
     batch = shard_host_batch(local, mesh)
 
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    # pass the RAW host-local numpy slice: train_step's internal
+    # shard_batch must recognize the multi-process mesh and assemble the
+    # global array from per-process data (the fit()-path contract)
+    state, metrics = trainer.train_step(state, local, jax.random.PRNGKey(1))
 
     # fingerprints: loss + a few fully-replicated gradient-derived values
     loss = float(metrics["loss"])
