@@ -142,6 +142,16 @@ def probe_subprocess(num_points: int, use_pallas: bool,
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=1800)
         except subprocess.TimeoutExpired:
+            # On the time-shared chip a probe can exceed 30 min purely from
+            # tenancy contention — a timeout is an infra condition, not a
+            # memory signal, so it gets the same retry budget (r3: the
+            # G=128 XLA boundary was once mis-set by exactly this).
+            if attempts <= infra_retries:
+                print(json.dumps({
+                    "num_points": num_points, "pallas": use_pallas,
+                    "retrying_timeout": attempts,
+                }), flush=True)
+                continue
             return {"num_points": num_points, "pallas": use_pallas,
                     "ok": False, "failure": "timeout", "timeout": True}
         for line in proc.stdout.splitlines():

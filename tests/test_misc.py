@@ -143,3 +143,49 @@ def test_mem_sweep_oom_classification():
     assert cf("Connection reset by peer") == "infra"
 
     assert cf("some unrelated python TypeError") == "other"
+
+
+def test_mem_sweep_timeout_is_retried(monkeypatch):
+    """A probe exceeding the wall limit on the time-shared chip is an
+    infra condition, not a memory signal — it must consume the retry
+    budget (and succeed if a retry passes) rather than set a boundary."""
+    import importlib.util
+    import os
+    import subprocess
+
+    spec = importlib.util.spec_from_file_location(
+        "pallas_mem_sweep2",
+        os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                     "pallas_mem_sweep.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    calls = {"n": 0}
+
+    class FakeProc:
+        returncode = 0
+        stderr = ""
+        stdout = '{"num_points": 1000, "ok": true}'
+
+    def fake_run(cmd, capture_output, text, timeout):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        return FakeProc()
+
+    monkeypatch.setattr(mod.subprocess, "run", fake_run)
+    rec = mod.probe_subprocess(1000, False, infra_retries=2)
+    assert calls["n"] == 2 and rec["ok"] is True
+
+    # budget exhausted -> an honest 'timeout' record, never 'oom'
+    calls["n"] = 0
+
+    def always_timeout(cmd, capture_output, text, timeout):
+        calls["n"] += 1
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(mod.subprocess, "run", always_timeout)
+    rec = mod.probe_subprocess(1000, False, infra_retries=2)
+    assert rec["failure"] == "timeout" and not rec.get("oom", False)
+    assert calls["n"] == 3  # first try + 2 retries
