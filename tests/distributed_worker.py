@@ -70,7 +70,7 @@ def main():
 
     # fingerprints: loss + a few fully-replicated gradient-derived values
     loss = float(metrics["loss"])
-    gnorm = float(metrics.get("grad_norm", -1.0))
+    gnorm = float(metrics["grad_norm"])  # KeyError > silent -1==-1
     psum = float(
         sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(
             state.params)))

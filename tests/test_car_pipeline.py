@@ -62,12 +62,17 @@ def test_drag_coefficient_uniform_pressure():
 
 
 def test_drag_coefficient_directional_pressure():
-    """Higher pressure on the +z face than -z -> negative z drag force."""
+    """Higher pressure on the +z face than -z -> NEGATIVE z drag force.
+
+    Pinned value: unit box, press = 10z -> only the z faces contribute
+    (+z face: p=10, area 1, n_z=+1; -z face: p=0), F_d = -Σ p·A·n_z = -10,
+    Cd = 2F/(ρ v² A_ref) = 2·(-10)/(0.3·20²·1) = -1/6. A sign flip in the
+    outward orientation or the pressure term would flip it to +1/6."""
     pts, quads = make_box_quads()
     press = pts[:, 2] * 10.0  # pressure grows with z
     velo = np.zeros((8, 3), dtype=np.float32)
     cd = car_metrics.drag_coefficient(pts, quads, press, velo)
-    assert cd != 0.0
+    assert cd == pytest.approx(-1.0 / 6.0, rel=1e-6)
 
 
 def test_sdf():

@@ -121,18 +121,9 @@ def test_full_haet_2d_forward_matches_torch_oracle(monkeypatch):
     v = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
 
     # Capture the data-dependent grouping perms each Attn layer builds so
-    # the torch oracle can share them exactly. The apply below runs eagerly
-    # (outside jit), so the captured perms are concrete arrays.
-    captured = []
-    orig = build_erwin_perms
-
-    def capture(pos, **kw):
-        perms = orig(pos, **kw)
-        captured.append(jax.tree_util.tree_map(np.asarray, perms))
-        return perms
-
-    import haet_tpu.models.erwin as erwin_mod
-    monkeypatch.setattr(erwin_mod, "build_erwin_perms", capture)
+    # the torch oracle can share them exactly (the apply below runs eagerly,
+    # so the captured perms are concrete) — shared shim with the grad tests.
+    captured = _capture_perms(monkeypatch)
 
     out = np.asarray(model.apply(v, x, fx))
     assert len(captured) == 2  # one perms build per layer

@@ -30,7 +30,7 @@ def _pair(b=8, n=32, c=32, d=3, heads=4, ball=32, mlp_ratio=4,
               dimensionality=d, use_dist_bias=use_dist_bias)
     ref = ErwinTransformerBlock(**kw)
     fused = ErwinTransformerBlock(use_pallas=True, **kw)
-    params = ref.init(jax.random.PRNGKey(1), x, pos)
+    params = jax.jit(ref.init)(jax.random.PRNGKey(1), x, pos)
     return ref, fused, params, x, pos
 
 
@@ -104,7 +104,7 @@ def test_fused_inside_full_erwin():
     x, pos = _mk(2, 64, 16, 3, seed=5)
     ref = ErwinTransformer(**kw)
     fused = ErwinTransformer(use_pallas_blocks=True, **kw)
-    variables = ref.init(jax.random.PRNGKey(2), x, pos)
+    variables = jax.jit(ref.init)(jax.random.PRNGKey(2), x, pos)
     out_ref = ref.apply(variables, x, pos)
     out_fused = fused.apply(variables, x, pos)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),

@@ -47,9 +47,20 @@ def test_slice_states_matches_xla(data):
     ref = slice_ops.eidetic_states(data["x"], w)
     np.testing.assert_allclose(np.asarray(states), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
-    # m/s residuals reproduce the softmax denominator
-    np.testing.assert_allclose(np.asarray(s) * 0 + 1.0,
-                               np.asarray(w.sum(axis=2)), rtol=1e-5)
+    # m/s residuals: the running max over N and the max-shifted softmax
+    # denominator (what the hand-derived chunked backward reconstructs
+    # A and the coupling term from — garbage here corrupts every dL/dw)
+    import math as _math
+
+    tau = slice_ops.ada_temp(data["x"] @ data["wa"] + data["ba"], 0.5)
+    shift = _math.log(-_math.log(1e-6))
+    z = ((data["x"] @ data["ws"] + data["bs"]) - shift) / tau
+    m_ref = z.max(axis=2)
+    s_ref = jnp.exp(z - m_ref[:, :, None, :]).sum(axis=2)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=2e-4, atol=1e-5)
 
 
 def test_deslice_matches_xla(data):
@@ -167,35 +178,34 @@ def test_custom_vjp_bwd_math_exact_f64():
     sk._deslice_impl = f64_deslice_impl
     jax.config.update("jax_enable_x64", True)
     try:
-        if True:
-            rng = np.random.RandomState(3)
-            x = jnp.asarray(rng.randn(1, 2, 64, 8))
-            ws = jnp.asarray(rng.randn(8, 16))
-            bs = jnp.asarray(rng.randn(16))
-            wa = jnp.asarray(rng.randn(8, 1) * 0.3)
-            ba = jnp.asarray(rng.randn(1) * 0.3)
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(1, 2, 64, 8))
+        ws = jnp.asarray(rng.randn(8, 16))
+        bs = jnp.asarray(rng.randn(16))
+        wa = jnp.asarray(rng.randn(8, 1) * 0.3)
+        ba = jnp.asarray(rng.randn(1) * 0.3)
 
-            def fused_loss(x, ws, bs, wa, ba):
-                states, m, s = sk.slice_states(x, ws, bs, wa, ba,
-                                               0.5, 1e-6, 32)
-                out = sk.deslice(x, ws, bs, wa, ba, states * 2.0, m, s,
-                                 0.5, 1e-6, 32)
-                return jnp.sum(out ** 2)
+        def fused_loss(x, ws, bs, wa, ba):
+            states, m, s = sk.slice_states(x, ws, bs, wa, ba,
+                                           0.5, 1e-6, 32)
+            out = sk.deslice(x, ws, bs, wa, ba, states * 2.0, m, s,
+                             0.5, 1e-6, 32)
+            return jnp.sum(out ** 2)
 
-            def ref_loss(x, ws, bs, wa, ba):
-                tau = slice_ops.ada_temp(x @ wa + ba, 0.5)
-                w = slice_ops.rep_slice_weights(x @ ws + bs, tau, 1e-6)
-                states = slice_ops.eidetic_states(x, w)
-                out = slice_ops.deslice(states * 2.0, w)
-                return jnp.sum(out ** 2)
+        def ref_loss(x, ws, bs, wa, ba):
+            tau = slice_ops.ada_temp(x @ wa + ba, 0.5)
+            w = slice_ops.rep_slice_weights(x @ ws + bs, tau, 1e-6)
+            states = slice_ops.eidetic_states(x, w)
+            out = slice_ops.deslice(states * 2.0, w)
+            return jnp.sum(out ** 2)
 
-            gf = jax.grad(fused_loss, argnums=(0, 1, 2, 3, 4))(
-                x, ws, bs, wa, ba)
-            gx = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(
-                x, ws, bs, wa, ba)
-            for a, b in zip(gf, gx):
-                scale = float(jnp.max(jnp.abs(b))) or 1.0
-                assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-6
+        gf = jax.grad(fused_loss, argnums=(0, 1, 2, 3, 4))(
+            x, ws, bs, wa, ba)
+        gx = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(
+            x, ws, bs, wa, ba)
+        for a, b in zip(gf, gx):
+            scale = float(jnp.max(jnp.abs(b))) or 1.0
+            assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-6
     finally:
         jax.config.update("jax_enable_x64", False)
         sk._slice_states_impl_f32, sk._deslice_impl = orig
@@ -344,24 +354,28 @@ def test_slice_weights_capture_composes_with_pallas():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_use_pallas_auto_threshold_scales_with_g():
+def test_use_pallas_auto_threshold_scales_with_g(monkeypatch):
     """The effective auto threshold shrinks with slice_num following the
-    measured XLA training-OOM boundaries (2.25M @ G=32 -> 1.5M @ G=128)."""
+    measured XLA training-OOM boundaries (2.25M @ G=32 -> 1.5M @ G=128).
+
+    The backend check is monkeypatched to 'tpu' so the boundary assertions
+    actually exercise the threshold formula — on the CPU CI backend both
+    sides would otherwise be False regardless of the G-scaling."""
+    import haet_tpu.models.physics_attention as pa_mod
+
     from haet_tpu.models.physics_attention import PhysicsAttentionIrregularMesh
 
-    def eff(g):
+    monkeypatch.setattr(pa_mod.jax, "default_backend", lambda: "tpu")
+
+    def eff(g, expected):
         a = PhysicsAttentionIrregularMesh(
             dim=32, heads=4, dim_head=8, slice_num=g, use_pallas="auto",
             pallas_auto_threshold=1_700_000,
         )
-        scale = max(0.25, 1.0 - (g - 32) / 288.0)
-        expected = int(1_700_000 * scale)
         # boundary behavior around the expected threshold
-        on_tpu = jax.default_backend() == "tpu"
         assert a._pallas_enabled(expected - 1) is False
-        assert a._pallas_enabled(expected) is on_tpu
-        return expected
+        assert a._pallas_enabled(expected) is True
 
-    assert eff(32) == 1_700_000
-    assert eff(128) == 1_133_333          # ~0.75 x measured 1.5M boundary
-    assert eff(512) == 425_000            # floored at 1/4
+    eff(32, 1_700_000)
+    eff(128, 1_133_333)          # ~0.75 x measured 1.5M boundary
+    eff(512, 425_000)            # floored at 1/4

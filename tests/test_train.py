@@ -126,10 +126,11 @@ def test_trainer_fits_linear_problem():
     d = _data()
     state = trainer.init_state(jax.random.PRNGKey(0),
                                {k: v[:8] for k, v in d.items()})
+    from haet_tpu.train import MetricsLogger
+
     state = trainer.fit(
         state, batch_iter(d, 8, True, 0),
-        logger=__import__("haet_tpu.train", fromlist=["MetricsLogger"]
-                          ).MetricsLogger(echo=False),
+        logger=MetricsLogger(echo=False),
     )
     final = float(trainer.eval_step(state, d)["loss"])
     assert final < 0.05
@@ -154,16 +155,28 @@ def test_checkpoint_resume(tmp_path):
 
 
 def test_onecycle_schedule_shape():
-    import optax
+    """The PRODUCT's make_schedule wiring (reference exp_darcy.py:132-139:
+    OneCycle, pct_start, div_factor 25, final_div 1e4) — not a locally
+    rebuilt optax schedule."""
+    from haet_tpu.train.trainer import make_schedule
+
+    cfg = TrainConfig(lr=1e-3, schedule="onecycle", pct_start=0.3)
+    sched = make_schedule(cfg, total_steps=100)
+    # warmup then decay: peak cfg.lr at pct_start*total, low at both ends
+    assert float(sched(30)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(0)) == pytest.approx(1e-3 / 25.0, rel=1e-2)
+    assert float(sched(0)) < float(sched(30))
+    assert float(sched(99)) < float(sched(30)) / 100
+
+    # and the optimizer actually applies it: lr=0 schedule -> zero update
     from haet_tpu.train import make_optimizer
 
-    cfg = TrainConfig(lr=1e-3, schedule="onecycle")
-    tx = make_optimizer(cfg, total_steps=100)
-    # warmup then decay: lr at step 30 (peak) > lr at step 0 and step 99
-    sched = optax.cosine_onecycle_schedule(100, 1e-3, 0.3, 25.0, 1e4)
-    assert sched(30) == pytest.approx(1e-3, rel=1e-3)
-    assert sched(0) < sched(30)
-    assert sched(99) < sched(30) / 100
+    cfg0 = TrainConfig(lr=0.0, schedule="constant")
+    tx = make_optimizer(cfg0, total_steps=10)
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    upd, _ = tx.update({"w": jnp.ones((3,))}, st, params)
+    assert float(jnp.max(jnp.abs(upd["w"]))) == 0.0
 
 
 def test_train_steps_scan_matches_sequential():
