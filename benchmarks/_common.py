@@ -27,6 +27,10 @@ def base_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--mlp_ratio", type=int, default=1)
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--max_grad_norm", type=float, default=None)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: microbatches per optimizer "
+                        "step (must divide --batch-size); peak activation "
+                        "memory follows batch_size/accum_steps")
     p.add_argument("--unified_pos", type=int, default=0)
     p.add_argument("--ref", type=int, default=8)
     p.add_argument("--ntrain", type=int, default=1000)
@@ -59,6 +63,7 @@ def apply_model_args(cfg, args):
     cfg.train.epochs = args.epochs
     cfg.train.batch_size = args.batch_size
     cfg.train.max_grad_norm = args.max_grad_norm
+    cfg.train.accum_steps = getattr(args, "accum_steps", 1)
     cfg.model.n_hidden = args.n_hidden
     cfg.model.n_layers = args.n_layers
     cfg.model.n_head = args.n_heads

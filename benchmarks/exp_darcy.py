@@ -55,6 +55,7 @@ def build(args):
     cfg.model.mlp_ratio = args.mlp_ratio
     cfg.model.bf16 = bool(args.bf16)
     cfg.train.max_grad_norm = getattr(args, "max_grad_norm", None)
+    cfg.train.accum_steps = getattr(args, "accum_steps", 1)
     return cfg
 
 
@@ -165,6 +166,9 @@ if __name__ == "__main__":
     p.add_argument("--max_grad_norm", type=float, default=None,
                    help="global grad-norm clip (reference HAET_Darcy.sh "
                         "passes 0.1)")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: microbatches per optimizer "
+                        "step (must divide --batch-size)")
     p.add_argument("--downsample", type=int, default=5)
     p.add_argument("--unified_pos", type=int, default=0)
     p.add_argument("--ntrain", type=int, default=1000)

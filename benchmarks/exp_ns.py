@@ -26,6 +26,11 @@ T_IN, T_OUT, STEP = 10, 10, 1
 
 def main(args):
     cfg = apply_model_args(ns_config(), args)
+    if cfg.train.accum_steps > 1:
+        raise SystemExit(
+            "exp_ns: --accum_steps is not supported by this custom rollout "
+            "loop (the per-step remat + lax.scan already bounds activation "
+            "memory; use --use_checkpoint)")
     mesh = make_mesh_from_args(cfg, args)
     data = load_ns(args.data_path, args.ntrain, args.ntest, T_IN, T_OUT)
     if data["synthetic"]:

@@ -32,6 +32,10 @@ from haet_tpu.utils.config import plasticity_config
 
 def main(args):
     cfg = apply_model_args(plasticity_config(), args)
+    if cfg.train.accum_steps > 1:
+        raise SystemExit(
+            "exp_plas: --accum_steps is not supported by this custom "
+            "time-query loop (use --use_checkpoint for memory)")
     mesh = make_mesh_from_args(cfg, args)
     data = load_plasticity(args.data_path, args.ntrain, args.ntest)
     if data["synthetic"]:

@@ -241,6 +241,10 @@ class Trainer:
         return out, batch_stats
 
     def _step(self, state: TrainState, batch, rng):
+        accum = int(getattr(self.cfg, "accum_steps", 1) or 1)
+        if accum > 1:
+            return self._accum_step(state, batch, rng, accum)
+
         def loss(params):
             out, new_bs = self._apply(params, state.batch_stats, batch, True, rng)
             l, aux = self.loss_fn(out, batch)
@@ -259,6 +263,62 @@ class Trainer:
         # reference's wandb.watch gradient histograms (train.py:208) —
         # cheap inside the fused step (one extra reduction).
         metrics = {"loss": l, "grad_norm": optax.global_norm(grads), **aux}
+        return new_state, metrics
+
+    def _accum_step(self, state: TrainState, batch, rng, accum: int):
+        """One optimizer step over ``accum`` microbatches (gradient
+        accumulation). A ``lax.scan`` inside the one jitted step runs the
+        fwd+bwd per microbatch, so peak activation memory follows
+        ``batch_size/accum`` while the optimizer sees the mean gradient of
+        the full batch — for a mean-reduced loss this is exactly the
+        full-batch gradient, so ``accum_steps=A`` at batch B matches a
+        plain step at batch B (BatchNorm excepted: train-mode BN
+        normalizes within each microbatch, so on BN-bearing models both
+        the gradients and the running statistics take
+        sequential-small-batch semantics; stats chain through the scan
+        in order). Gradient
+        clipping (``max_grad_norm``, inside the optax chain) applies to
+        the accumulated gradient, matching the reference's full-batch
+        clip (train.py:104-107)."""
+
+        def split(x):
+            if x.shape[0] % accum:
+                raise ValueError(
+                    f"accum_steps={accum} must divide the batch dimension "
+                    f"({x.shape[0]})")
+            return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+        micro = jax.tree_util.tree_map(split, batch)
+        rngs = jax.random.split(rng, accum)
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, xs):
+            bs, gacc = carry
+            mb, r = xs
+
+            def loss(params):
+                out, new_bs = self._apply(params, bs, mb, True, r)
+                l, aux = self.loss_fn(out, mb)
+                return l, (aux, new_bs)
+
+            (l, (aux, new_bs)), g = jax.value_and_grad(
+                loss, has_aux=True)(state.params)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+            return (new_bs, gacc), (l, aux)
+
+        (new_bs, gacc), (ls, auxs) = jax.lax.scan(
+            body, (state.batch_stats, zero_grads), (micro, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gacc)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params,
+            batch_stats=new_bs, opt_state=opt_state,
+        )
+        aux_mean = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
+        metrics = {"loss": jnp.mean(ls),
+                   "grad_norm": optax.global_norm(grads), **aux_mean}
         return new_state, metrics
 
     def _leaf_grad_norms(self, state: TrainState, batch, rng):

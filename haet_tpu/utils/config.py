@@ -114,6 +114,11 @@ class TrainConfig:
     # periodic checkpoint every K epochs (reference PDE drivers use 100,
     # exp_darcy.py:259-263); None disables
     checkpoint_every: Optional[int] = None
+    # gradient accumulation: each optimizer step consumes accum_steps
+    # microbatches via a lax.scan inside the one jitted step, so peak
+    # activation memory follows batch_size/accum_steps while the update
+    # sees the full batch. 1 = off. batch_size must be divisible by it.
+    accum_steps: int = 1
 
 
 @dataclass

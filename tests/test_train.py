@@ -456,3 +456,78 @@ def test_early_stop_still_saves_last_checkpoint(tmp_path):
     last = ck.restore(template, "last")
     assert last is not None
     assert int(last.step) == int(final.step)  # the epoch that triggered the stop
+
+
+# -- gradient accumulation ------------------------------------------------
+
+def test_accum_step_equals_full_batch_step():
+    """accum_steps=A with a mean-reduced loss produces EXACTLY the
+    full-batch gradient (mean of per-microbatch mean-grads), so one
+    optimizer step must match the plain path bit-for-bit-ish (f32)."""
+    t_full = _make_trainer()
+    t_accum = _make_trainer(accum_steps=4)
+    d = _data(8)
+    batch = {k: v[:8] for k, v in d.items()}
+    s1 = t_full.init_state(jax.random.PRNGKey(0), batch)
+    s2 = t_accum.init_state(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(7)
+
+    s1, m1 = t_full.train_step(s1, batch, rng)
+    s2, m2 = t_accum.train_step(s2, batch, rng)
+
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
+    assert float(m2["grad_norm"]) == pytest.approx(
+        float(m1["grad_norm"]), rel=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s1.params, s2.params)
+    assert int(s2.step) == 1
+
+
+def test_accum_step_batchnorm_stats_chain_sequentially():
+    """BatchNorm running stats under accumulation must equal applying the
+    microbatches one after another (sequential-small-batch semantics)."""
+    from flax import linen as nn
+
+    class BNModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(3)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            return nn.Dense(1)(x)
+
+    m = BNModel()
+    cfg = TrainConfig(lr=0.0, epochs=1, batch_size=8, schedule="constant",
+                      weight_decay=0.0, optimizer="adam", accum_steps=2)
+    trainer = Trainer(
+        model=m,
+        loss_fn=lambda out, b: (jnp.mean((out - b["y"]) ** 2), {}),
+        cfg=cfg, total_steps=10,
+        batch_args=lambda b: (b["x"],),
+    )
+    d = _data(8)
+    state = trainer.init_state(jax.random.PRNGKey(0), d)
+    # snapshot before train_step: the jitted step donates (deletes) state
+    params0 = jax.tree_util.tree_map(np.asarray, state.params)
+    bs = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    new_state, _ = trainer.train_step(state, d, jax.random.PRNGKey(1))
+
+    # oracle: run the two microbatches sequentially through raw apply
+    for mb in (jax.tree_util.tree_map(lambda x: x[:4], d),
+               jax.tree_util.tree_map(lambda x: x[4:], d)):
+        _, upd = m.apply({"params": params0, "batch_stats": bs},
+                         mb["x"], train=True, mutable=["batch_stats"])
+        bs = upd["batch_stats"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        new_state.batch_stats, bs)
+
+
+def test_accum_steps_must_divide_batch():
+    trainer = _make_trainer(accum_steps=3)
+    d = _data(8)
+    state = trainer.init_state(jax.random.PRNGKey(0), d)
+    with pytest.raises(ValueError, match="accum_steps"):
+        trainer.train_step(state, d, jax.random.PRNGKey(1))

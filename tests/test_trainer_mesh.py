@@ -16,7 +16,7 @@ from haet_tpu.train import Trainer
 from haet_tpu.utils.config import ModelConfig, TrainConfig
 
 
-def _setup(mesh=None, shard_axes=None):
+def _setup(mesh=None, shard_axes=None, accum_steps=1):
     cfg = ModelConfig(variant="irregular", space_dim=3, fun_dim=1, out_dim=1,
                       n_layers=1, n_hidden=32, n_head=4, slice_num=16,
                       rotate=0, shard_axes=shard_axes)
@@ -25,7 +25,7 @@ def _setup(mesh=None, shard_axes=None):
         model=model,
         loss_fn=lambda out, b: (jnp.mean((out - b["y"]) ** 2), {}),
         cfg=TrainConfig(lr=1e-3, epochs=1, batch_size=8, schedule="constant",
-                        weight_decay=0.0),
+                        weight_decay=0.0, accum_steps=accum_steps),
         total_steps=10,
         batch_args=lambda b: (b["x"], b["fx"]),
         mesh=mesh,
@@ -205,6 +205,41 @@ def test_train_steps_scan_under_mesh_matches_sequential():
     # usual post-Adam noise rules apply, including the no-signal mask
     g1 = _grad_tree(t2, batches[0], mesh, P("dp"))
     _assert_params_close(s1.params, s2.params, g1)
+
+
+def test_accum_under_dp_mesh_matches_single_device():
+    """Gradient accumulation (lax.scan over microbatches) composes with a
+    dp mesh: the scanned microbatches stay dp-sharded on their batch axis
+    and the accumulated update == the plain single-device full-batch step.
+    The model is BatchNorm-bearing (Erwin pooling), so grads take
+    sequential-small-batch BN semantics on BOTH sides being compared here
+    (accum@mesh vs accum@single-device), which must agree exactly; the
+    plain step is additionally checked at the documented BN-coupling
+    bound."""
+    # accum on a single device is the semantics oracle
+    t1, batch = _setup(mesh=None, accum_steps=2)
+    s1, m1, _ = _run_two_steps(t1, batch)
+
+    # same accumulation under a dp mesh (microbatch 4 over dp=4)
+    t2, _ = _setup(mesh=make_mesh(n_dp=4, n_tp=2), accum_steps=2)
+    s2, m2, _ = _run_two_steps(t2, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-5)
+    # post-Adam params need the no-signal mask: BN-killed bias grads are
+    # zero under BOTH accum semantics, and Adam amplifies reduction-order
+    # noise there to full-lr steps (see _assert_params_close)
+    g1 = _grad_tree(t1, batch)
+    _assert_params_close(s1.params, s2.params, g1)
+
+    # sanity vs the plain (no-accum) step: identical up to BN microbatch
+    # normalization coupling (documented semantics, small at this scale)
+    t3, _ = _setup(mesh=None)
+    _, m3, _ = _run_two_steps(t3, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]),
+                               rtol=1e-2)
 
 
 def test_make_mesh_from_args_validation():
