@@ -29,6 +29,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -52,6 +53,16 @@ def main():
     import dataclasses
 
     from haet_tpu.utils.config import shapenet_car_config
+    from haet_tpu.utils.env import enable_compilation_cache
+
+    # Default the persistent XLA executable cache ON for the bench (repo-
+    # local dir, gitignored): the ~2-4 min of train-step/loop compiles are
+    # identical run to run, so a warmed cache spends the whole wall budget
+    # on measurement instead. HAET_COMPILE_CACHE=0 disables.
+    enable_compilation_cache(
+        os.environ.get("HAET_COMPILE_CACHE")
+        or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".xla_cache"))
 
     on_tpu = jax.devices()[0].platform != "cpu"
     # The exact vendored car model config: 1,757,190 params
@@ -132,8 +143,18 @@ def main():
     # time-shared chip. Both execution strategies are hard measurements
     # (every step's program must run serially on the device); report the
     # better one — which one wins depends on the chip-sharing regime.
+    # Sampling is time-budget-aware: the hosted chip alternates between
+    # quiet and contended regimes on a seconds-to-minutes scale, so more
+    # interleaved rounds = better odds one round lands in a quiet window
+    # (minima are what's reported). At least 6 rounds always run; extra
+    # rounds continue until HAET_BENCH_BUDGET_S (default 150 s) of
+    # sampling wall time or 16 rounds, whichever first.
+    budget_s = float(os.environ.get("HAET_BENCH_BUDGET_S", "150"))
     best = {k: float("inf") for k in ("d_lo", "d_hi", "l_lo", "l_hi")}
-    for _ in range(6):
+    t_start = time.perf_counter()
+    for i in range(16):
+        if i >= 6 and time.perf_counter() - t_start > budget_s:
+            break
         best["d_lo"] = min(best["d_lo"], disp_window(k_lo))
         best["d_hi"] = min(best["d_hi"], disp_window(k_hi))
         best["l_lo"] = min(best["l_lo"], loop_window(k_lo))

@@ -525,6 +525,40 @@ def test_accum_step_batchnorm_stats_chain_sequentially():
         new_state.batch_stats, bs)
 
 
+def test_accum_composes_with_train_steps_scan():
+    """accum_steps inside the K-step train_steps scan (scan-in-scan): K
+    scanned accumulated steps == K dispatched accumulated train_step
+    calls == K plain full-batch steps (BN-free model, exact grads)."""
+    d = _data(16)
+    batches = [{k: v[i * 8:(i + 1) * 8] for k, v in d.items()}
+               for i in range(2)]
+    rng = jax.random.PRNGKey(3)
+
+    t1 = _make_trainer(accum_steps=2)
+    s1 = t1.init_state(jax.random.PRNGKey(0), batches[0])
+    s1, metrics = t1.train_steps(s1, batches, rng)
+    assert metrics["loss"].shape == (2,)
+
+    t2 = _make_trainer(accum_steps=2)
+    s2 = t2.init_state(jax.random.PRNGKey(0), batches[0])
+    t3 = _make_trainer()  # plain full-batch oracle
+    s3 = t3.init_state(jax.random.PRNGKey(0), batches[0])
+    r = rng
+    for b in batches:
+        r, sub = jax.random.split(r)
+        s2, m2 = t2.train_step(s2, b, sub)
+        s3, _ = t3.train_step(s3, b, sub)
+
+    assert int(s1.step) == int(s2.step) == 2
+    for a, b, c in zip(jax.tree_util.tree_leaves(s1.params),
+                       jax.tree_util.tree_leaves(s2.params),
+                       jax.tree_util.tree_leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_accum_steps_must_divide_batch():
     trainer = _make_trainer(accum_steps=3)
     d = _data(8)
