@@ -240,19 +240,32 @@ class Trainer:
         out = self.model.apply(variables, *self.batch_args(batch), **kwargs)
         return out, batch_stats
 
+    def _accum(self) -> int:
+        accum = getattr(self.cfg, "accum_steps", 1)
+        accum = 1 if accum is None else int(accum)
+        if accum < 1:
+            raise ValueError(f"accum_steps must be >= 1, got {accum}")
+        return accum
+
     def _step(self, state: TrainState, batch, rng):
-        accum = int(getattr(self.cfg, "accum_steps", 1) or 1)
+        accum = self._accum()
         if accum > 1:
-            return self._accum_step(state, batch, rng, accum)
+            l, aux, new_bs, grads = self._accum_grads(state, batch, rng,
+                                                      accum)
+        else:
+            def loss(params):
+                out, new_bs = self._apply(
+                    params, state.batch_stats, batch, True, rng)
+                l, aux = self.loss_fn(out, batch)
+                return l, (aux, new_bs)
 
-        def loss(params):
-            out, new_bs = self._apply(params, state.batch_stats, batch, True, rng)
-            l, aux = self.loss_fn(out, batch)
-            return l, (aux, new_bs)
+            (l, (aux, new_bs)), grads = jax.value_and_grad(
+                loss, has_aux=True)(state.params)
 
-        (l, (aux, new_bs)), grads = jax.value_and_grad(loss, has_aux=True)(
-            state.params
-        )
+        # Shared update tail for both paths: gradient clipping
+        # (max_grad_norm, inside the optax chain) therefore applies to the
+        # accumulated gradient, matching the reference's full-batch clip
+        # (train.py:104-107).
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -265,21 +278,18 @@ class Trainer:
         metrics = {"loss": l, "grad_norm": optax.global_norm(grads), **aux}
         return new_state, metrics
 
-    def _accum_step(self, state: TrainState, batch, rng, accum: int):
-        """One optimizer step over ``accum`` microbatches (gradient
-        accumulation). A ``lax.scan`` inside the one jitted step runs the
-        fwd+bwd per microbatch, so peak activation memory follows
-        ``batch_size/accum`` while the optimizer sees the mean gradient of
+    def _accum_grads(self, state: TrainState, batch, rng, accum: int):
+        """Mean loss/aux, chained BatchNorm stats, and mean gradients over
+        ``accum`` microbatches (gradient accumulation). A ``lax.scan`` runs
+        the fwd+bwd per microbatch, so peak activation memory follows
+        ``batch_size/accum`` while the caller sees the mean gradient of
         the full batch — for a mean-reduced loss this is exactly the
         full-batch gradient, so ``accum_steps=A`` at batch B matches a
         plain step at batch B (BatchNorm excepted: train-mode BN
         normalizes within each microbatch, so on BN-bearing models both
         the gradients and the running statistics take
         sequential-small-batch semantics; stats chain through the scan
-        in order). Gradient
-        clipping (``max_grad_norm``, inside the optax chain) applies to
-        the accumulated gradient, matching the reference's full-batch
-        clip (train.py:104-107)."""
+        in order)."""
 
         def split(x):
             if x.shape[0] % accum:
@@ -309,25 +319,25 @@ class Trainer:
         (new_bs, gacc), (ls, auxs) = jax.lax.scan(
             body, (state.batch_stats, zero_grads), (micro, rngs))
         grads = jax.tree_util.tree_map(lambda g: g / accum, gacc)
-        updates, opt_state = self.tx.update(grads, state.opt_state,
-                                            state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1, params=params,
-            batch_stats=new_bs, opt_state=opt_state,
-        )
         aux_mean = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
-        metrics = {"loss": jnp.mean(ls),
-                   "grad_norm": optax.global_norm(grads), **aux_mean}
-        return new_state, metrics
+        return jnp.mean(ls), aux_mean, new_bs, grads
 
     def _leaf_grad_norms(self, state: TrainState, batch, rng):
-        def loss(params):
-            out, _ = self._apply(params, state.batch_stats, batch, True, rng)
-            l, _ = self.loss_fn(out, batch)
-            return l
+        # Honor accum_steps: the probe must not single-shot a batch the
+        # training step only ever sees microbatched — on a config where
+        # accumulation exists because the full-batch fwd+bwd OOMs, a
+        # full-batch probe would kill the run mid-training.
+        accum = self._accum()
+        if accum > 1:
+            _, _, _, grads = self._accum_grads(state, batch, rng, accum)
+        else:
+            def loss(params):
+                out, _ = self._apply(
+                    params, state.batch_stats, batch, True, rng)
+                l, _ = self.loss_fn(out, batch)
+                return l
 
-        grads = jax.grad(loss)(state.params)
+            grads = jax.grad(loss)(state.params)
         return jax.tree_util.tree_map(
             lambda g: jnp.sqrt(jnp.sum(jnp.square(g))), grads
         )

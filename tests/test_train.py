@@ -565,3 +565,31 @@ def test_accum_steps_must_divide_batch():
     state = trainer.init_state(jax.random.PRNGKey(0), d)
     with pytest.raises(ValueError, match="accum_steps"):
         trainer.train_step(state, d, jax.random.PRNGKey(1))
+
+
+@pytest.mark.parametrize("bad", [0, -2])
+def test_accum_steps_must_be_positive(bad):
+    """0 / negative accum_steps must error loudly, not silently run the
+    plain full-batch path (the exact OOM accumulation exists to avoid)."""
+    trainer = _make_trainer(accum_steps=bad)
+    d = _data(8)
+    state = trainer.init_state(jax.random.PRNGKey(0), d)
+    with pytest.raises(ValueError, match="accum_steps"):
+        trainer.train_step(state, d, jax.random.PRNGKey(1))
+
+
+def test_grad_leaf_norms_honors_accum():
+    """The watch_every probe must microbatch like the train step (a
+    full-batch probe would OOM exactly where accumulation is needed) and,
+    on a BN-free model, match the plain full-batch leaf norms exactly."""
+    t_plain = _make_trainer()
+    t_accum = _make_trainer(accum_steps=4)
+    d = _data(8)
+    s1 = t_plain.init_state(jax.random.PRNGKey(0), d)
+    s2 = t_accum.init_state(jax.random.PRNGKey(0), d)
+    rng = jax.random.PRNGKey(11)
+    n1 = t_plain.grad_leaf_norms(s1, d, rng)
+    n2 = t_accum.grad_leaf_norms(s2, d, rng)
+    assert n1.keys() == n2.keys()
+    for k in n1:
+        assert n2[k] == pytest.approx(n1[k], rel=1e-5, abs=1e-7), k

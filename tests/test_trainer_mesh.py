@@ -241,6 +241,17 @@ def test_accum_under_dp_mesh_matches_single_device():
     np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]),
                                rtol=1e-2)
 
+    # REAL head-TP inside the accumulation scan: the model's [B,H,N,*]
+    # sharding constraints must trace/compile/execute within the lax.scan
+    # microbatch body and preserve numerics (the documented
+    # "composes with --dp/--tp" claim).
+    t4, _ = _setup(mesh=make_mesh(n_dp=4, n_tp=2), shard_axes=("dp", "tp"),
+                   accum_steps=2)
+    s4, m4, _ = _run_two_steps(t4, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
+                               rtol=1e-6)
+    _assert_params_close(s1.params, s4.params, g1)
+
 
 def test_make_mesh_from_args_validation():
     """Driver --dp/--tp glue: mesh construction, head-TP enablement, and
