@@ -509,6 +509,27 @@ class Trainer:
                 tm["train/device_memory_mb"] = dev_mb
             rec = {"epoch": epoch, **tm,
                    "epoch/time_seconds": time.time() - t0}
+            train_loss = tm.get("train/loss")
+            if (
+                getattr(self.cfg, "stop_on_nonfinite", True)
+                and train_loss is not None
+                and not np.isfinite(train_loss)
+            ):
+                # A diverged step leaves NaN/Inf in the params — every
+                # later step stays NaN, so continuing only burns chip
+                # time. Fail loudly; keep the state for forensics. (The
+                # check reads the per-epoch mean the loop already fetched
+                # — no extra device sync.)
+                logger.log({**rec, "non_finite_loss": True})
+                if checkpointer is not None:
+                    checkpointer.save_last(state, epoch)
+                    checkpointer.wait()
+                raise FloatingPointError(
+                    f"non-finite training loss ({train_loss}) at epoch "
+                    f"{epoch}; state saved to 'last' for inspection. "
+                    "Common causes: lr too high, bad input normalization, "
+                    "a corrupt batch. Set TrainConfig("
+                    "stop_on_nonfinite=False) to keep running anyway.")
             if (
                 self.watch_every
                 and watch_batch is not None

@@ -119,6 +119,10 @@ class TrainConfig:
     # activation memory follows batch_size/accum_steps while the update
     # sees the full batch. 1 = off. batch_size must be divisible by it.
     accum_steps: int = 1
+    # abort fit() with FloatingPointError (after saving 'last') when the
+    # per-epoch mean training loss goes NaN/Inf — a diverged run cannot
+    # recover and would otherwise burn the remaining epochs silently
+    stop_on_nonfinite: bool = True
 
 
 @dataclass

@@ -458,6 +458,49 @@ def test_early_stop_still_saves_last_checkpoint(tmp_path):
     assert int(last.step) == int(final.step)  # the epoch that triggered the stop
 
 
+# -- divergence guard -----------------------------------------------------
+
+def test_fit_aborts_on_nonfinite_loss(tmp_path):
+    """A NaN training loss aborts fit() loudly (diverged params never
+    recover), after saving 'last' for forensics."""
+    from haet_tpu.train import Checkpointer
+
+    tm = TinyModel()
+    cfg = TrainConfig(lr=1e-3, epochs=5, batch_size=8, schedule="constant",
+                      weight_decay=0.0)
+    trainer = Trainer(
+        model=tm.m,
+        # loss is NaN from step one: sqrt of a negative sum
+        loss_fn=lambda out, b: (jnp.sqrt(-jnp.sum(out ** 2) - 1.0), {}),
+        cfg=cfg, total_steps=10,
+        batch_args=lambda b: (b["x"],),
+    )
+    d = _data(8)
+    state = trainer.init_state(jax.random.PRNGKey(0), d)
+    ck = Checkpointer(str(tmp_path))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        trainer.fit(state, lambda: [d], checkpointer=ck)
+    # 'last' exists for inspection
+    template = trainer.init_state(jax.random.PRNGKey(0), d)
+    assert ck.restore(template, "last") is not None
+
+
+def test_fit_nonfinite_guard_can_be_disabled():
+    tm = TinyModel()
+    cfg = TrainConfig(lr=1e-3, epochs=2, batch_size=8, schedule="constant",
+                      weight_decay=0.0, stop_on_nonfinite=False)
+    trainer = Trainer(
+        model=tm.m,
+        loss_fn=lambda out, b: (jnp.sqrt(-jnp.sum(out ** 2) - 1.0), {}),
+        cfg=cfg, total_steps=10,
+        batch_args=lambda b: (b["x"],),
+    )
+    d = _data(8)
+    state = trainer.init_state(jax.random.PRNGKey(0), d)
+    out = trainer.fit(state, lambda: [d])  # must complete without raising
+    assert int(out.step) == 2
+
+
 # -- gradient accumulation ------------------------------------------------
 
 def test_accum_step_equals_full_batch_step():
