@@ -18,3 +18,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent executable cache: identical test programs (the big
+# scan-under-mesh Trainer compiles dominate suite wall time) become disk
+# loads on re-runs. Keyed by (HLO, options, backend) so it can never mask
+# a code change; HAET_COMPILE_CACHE=0 disables. Best-effort on read-only
+# checkouts.
+from haet_tpu.utils.env import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(
+    os.environ.get("HAET_COMPILE_CACHE")
+    or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".xla_cache"))

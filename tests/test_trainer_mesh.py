@@ -234,12 +234,9 @@ def test_accum_under_dp_mesh_matches_single_device():
     g1 = _grad_tree(t1, batch)
     _assert_params_close(s1.params, s2.params, g1)
 
-    # sanity vs the plain (no-accum) step: identical up to BN microbatch
-    # normalization coupling (documented semantics, small at this scale)
-    t3, _ = _setup(mesh=None)
-    _, m3, _ = _run_two_steps(t3, batch)
-    np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]),
-                               rtol=1e-2)
+    # (accum-vs-plain equality is covered exactly, BN-free, in
+    # test_train.py::test_accum_step_equals_full_batch_step — not repeated
+    # here to keep this file's compile count down)
 
     # REAL head-TP inside the accumulation scan: the model's [B,H,N,*]
     # sharding constraints must trace/compile/execute within the lax.scan
