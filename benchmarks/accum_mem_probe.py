@@ -31,7 +31,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from pallas_mem_sweep import classify_failure, probe_subprocess  # noqa: E402,F401
+from pallas_mem_sweep import run_classified_subprocess  # noqa: E402
 
 
 def run_probe(num_points: int, batch: int, accum: int, bf16: bool = True):
@@ -86,51 +86,12 @@ def accum_probe_subprocess(num_points: int, batch: int, accum: int,
                            infra_retries: int = 2) -> dict:
     """Fresh-process probe via this file's --probe mode, with
     pallas_mem_sweep's retry/classification policy."""
-    import re
-    import subprocess
-    import time
-
-    from pallas_mem_sweep import _INFRA_RE, _OOM_RE
-
     cmd = [sys.executable, os.path.abspath(__file__),
            "--probe", str(num_points), "--batch", str(batch),
            "--accum", str(accum)]
-    attempts = 0
-    while True:
-        attempts += 1
-        try:
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=1800)
-        except subprocess.TimeoutExpired:
-            if attempts <= infra_retries:
-                print(json.dumps({"num_points": num_points, "accum": accum,
-                                  "retrying_timeout": attempts}), flush=True)
-                continue
-            return {"num_points": num_points, "accum": accum, "ok": False,
-                    "failure": "timeout", "timeout": True}
-        for line in proc.stdout.splitlines():
-            try:
-                rec = json.loads(line)
-                if "num_points" in rec:
-                    return rec
-            except json.JSONDecodeError:
-                continue
-        err = proc.stderr or ""
-        kind = classify_failure(err)
-        if kind == "infra" and attempts <= infra_retries:
-            print(json.dumps({"num_points": num_points, "accum": accum,
-                              "retrying_infra_failure": attempts}),
-                  flush=True)
-            time.sleep(10 * attempts)
-            continue
-        oom_lines = [l for l in err.splitlines() if _OOM_RE.search(l)]
-        other = [l for l in err.splitlines()
-                 if _INFRA_RE.search(l) or "Error" in l]
-        pick = oom_lines or other
-        tail = (re.sub(r"\x1b\[[0-9;]*m", "", pick[0]).strip()[:240]
-                if pick else f"rc={proc.returncode}")
-        return {"num_points": num_points, "accum": accum, "ok": False,
-                "failure": kind, "oom": kind == "oom", "error_tail": tail}
+    return run_classified_subprocess(
+        cmd, {"num_points": num_points, "batch": batch, "accum": accum},
+        infra_retries)
 
 
 def find_max_n(batch: int, accum: int, start: int, limit: int, log):

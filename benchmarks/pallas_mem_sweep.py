@@ -125,16 +125,13 @@ def classify_failure(err: str) -> str:
     return "other"
 
 
-def probe_subprocess(num_points: int, use_pallas: bool,
-                     grad: bool = False, slice_num: int = 32,
-                     infra_retries: int = 2) -> dict:
-    """Fresh-process probe; returns the parsed JSON record or a classified
-    failure mark. Infrastructure failures (compile-service/tunnel errors)
-    are re-probed up to ``infra_retries`` times — they carry no information
-    about the memory boundary."""
-    cmd = [sys.executable, os.path.abspath(__file__),
-           "--probe", str(num_points), "--pallas", str(int(use_pallas)),
-           "--grad", str(int(grad)), "--slice_num", str(slice_num)]
+def run_classified_subprocess(cmd: list, tag: dict,
+                              infra_retries: int = 2) -> dict:
+    """Run a probe command in a fresh process; return its JSON record or a
+    classified failure mark (``tag`` identifies the probe in retry logs
+    and failure records). Infrastructure failures (compile-service/tunnel
+    errors) and timeouts are re-probed up to ``infra_retries`` times —
+    they carry no information about the memory boundary."""
     attempts = 0
     while True:
         attempts += 1
@@ -147,13 +144,11 @@ def probe_subprocess(num_points: int, use_pallas: bool,
             # memory signal, so it gets the same retry budget (r3: the
             # G=128 XLA boundary was once mis-set by exactly this).
             if attempts <= infra_retries:
-                print(json.dumps({
-                    "num_points": num_points, "pallas": use_pallas,
-                    "retrying_timeout": attempts,
-                }), flush=True)
+                print(json.dumps({**tag, "retrying_timeout": attempts}),
+                      flush=True)
                 continue
-            return {"num_points": num_points, "pallas": use_pallas,
-                    "ok": False, "failure": "timeout", "timeout": True}
+            return {**tag, "ok": False, "failure": "timeout",
+                    "timeout": True}
         for line in proc.stdout.splitlines():
             try:
                 rec = json.loads(line)
@@ -164,10 +159,8 @@ def probe_subprocess(num_points: int, use_pallas: bool,
         err = proc.stderr or ""
         kind = classify_failure(err)
         if kind == "infra" and attempts <= infra_retries:
-            print(json.dumps({
-                "num_points": num_points, "pallas": use_pallas,
-                "retrying_infra_failure": attempts,
-            }), flush=True)
+            print(json.dumps({**tag, "retrying_infra_failure": attempts}),
+                  flush=True)
             time.sleep(10 * attempts)
             continue
         # prefer the line that names the OOM ("Ran out of memory in memory
@@ -178,8 +171,20 @@ def probe_subprocess(num_points: int, use_pallas: bool,
         pick = oom_lines or other
         tail = (re.sub(r"\x1b\[[0-9;]*m", "", pick[0]).strip()[:240]
                 if pick else f"rc={proc.returncode}")
-        return {"num_points": num_points, "pallas": use_pallas, "ok": False,
-                "failure": kind, "oom": kind == "oom", "error_tail": tail}
+        return {**tag, "ok": False, "failure": kind, "oom": kind == "oom",
+                "error_tail": tail}
+
+
+def probe_subprocess(num_points: int, use_pallas: bool,
+                     grad: bool = False, slice_num: int = 32,
+                     infra_retries: int = 2) -> dict:
+    """Fresh-process probe of this file's --probe mode."""
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--probe", str(num_points), "--pallas", str(int(use_pallas)),
+           "--grad", str(int(grad)), "--slice_num", str(slice_num)]
+    return run_classified_subprocess(
+        cmd, {"num_points": num_points, "pallas": use_pallas},
+        infra_retries)
 
 
 def find_max_n(use_pallas: bool, start: int, limit: int, log, grad=False,
