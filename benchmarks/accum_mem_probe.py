@@ -132,6 +132,8 @@ def main():
     p.add_argument("--start", type=int, default=65536)
     p.add_argument("--limit", type=int, default=4_000_000)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--only", type=int, default=None,
+                   help="sweep only this accum value (resume support)")
     args = p.parse_args()
 
     if args.probe is not None:
@@ -147,7 +149,8 @@ def main():
             out.flush()
 
     summary = {}
-    for accum in (1, args.batch):
+    accums = (args.only,) if args.only else (1, args.batch)
+    for accum in accums:
         max_n, bounded, kind = find_max_n(
             args.batch, accum, args.start, args.limit, log)
         summary[f"accum{accum}"] = {
