@@ -53,14 +53,28 @@ def main(args):
         total_steps=1, batch_args=lambda b: (b["x"], None),
     )
     state = trainer.init_state(jax.random.PRNGKey(0), make_batch(val_s[0]))
-    ckpt = Checkpointer(args.checkpoint_dir)
-    template = jax.tree_util.tree_map(np.asarray, state)
-    restored = ckpt.restore(template, args.which)
-    if restored is None:
-        print(f"[car_eval] no checkpoint at {args.checkpoint_dir}/{args.which}"
-              " — evaluating the random init")
+    if getattr(args, "torch_checkpoint", None):
+        # Evaluate a checkpoint trained by the REFERENCE code (torch .pt,
+        # main.py/train.py) — imported into the flax tree.
+        from haet_tpu.utils.torch_import import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(
+            args.torch_checkpoint,
+            {"params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        print(f"[car_eval] imported reference torch checkpoint "
+              f"{args.torch_checkpoint}")
     else:
-        state = restored
+        ckpt = Checkpointer(args.checkpoint_dir)
+        template = jax.tree_util.tree_map(np.asarray, state)
+        restored = ckpt.restore(template, args.which)
+        if restored is None:
+            print(f"[car_eval] no checkpoint at "
+                  f"{args.checkpoint_dir}/{args.which}"
+                  " — evaluating the random init")
+        else:
+            state = restored
 
     metrics = evaluate(trainer, state, val_s, coef)
     print("relative l2 error press:", metrics["rel_l2_press"])
@@ -157,6 +171,9 @@ if __name__ == "__main__":
     p.add_argument("--fold_id", type=int, default=0)
     p.add_argument("--checkpoint_dir", type=str,
                    default="./runs/checkpoints/car")
+    p.add_argument("--torch_checkpoint", type=str, default=None,
+                   help="evaluate a reference-trained torch .pt checkpoint "
+                        "(imported via haet_tpu.utils.torch_import)")
     p.add_argument("--which", type=str, default="best",
                    choices=["best", "last"])
     p.add_argument("--n_hidden", type=int, default=256)

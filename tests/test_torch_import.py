@@ -1,0 +1,220 @@
+"""Checkpoint interchange vs the REAL reference model key schema.
+
+Ground truth: the reference models themselves, instantiated on CPU with
+their CUDA-only deps stubbed (flash_attn / torch_cluster / torch_scatter /
+balltree are construction-time imports only -- state_dict needs no forward).
+This pins the importer to the reference's actual ``state_dict`` names and
+shapes (``models/HAETransolver_*.py``), not to our reading of them.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import jax
+import numpy as np
+import pytest
+
+from haet_tpu.utils.config import ModelConfig
+from haet_tpu.utils.torch_import import (
+    convert_state_dict,
+    to_torch_state_dict,
+)
+
+
+def _stub(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules.setdefault(name, m)
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """Import the reference ``models`` package with CUDA deps stubbed."""
+    _stub("flash_attn", flash_attn_qkvpacked_func=lambda *a, **k: None)
+    _stub("torch_cluster", radius_graph=lambda *a, **k: None)
+    _stub("torch_scatter", scatter_mean=lambda *a, **k: None)
+    _stub("balltree",
+          build_balltree_with_rotations=lambda *a, **k: None,
+          build_balltree=lambda *a, **k: None,
+          partition_balltree=lambda *a, **k: None)
+    try:
+        from timm.models.layers import trunc_normal_  # noqa: F401
+    except Exception:
+        import torch
+
+        _stub("timm")
+        _stub("timm.models")
+        _stub("timm.models.layers",
+              trunc_normal_=lambda t, std=1.0: t.data.normal_(0, std))
+    import torch
+
+    # get_grid() calls .cuda() at construction (reference
+    # HAETransolver_Structured_Mesh_2D.py:346); neutralize on CPU.
+    torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore
+    sys.path.insert(0, "/root/reference")
+    try:
+        import models as ref
+    except Exception as e:  # reference tree absent in some environments
+        pytest.skip(f"reference package unavailable: {e}")
+    finally:
+        sys.path.remove("/root/reference")
+    return ref
+
+
+def _our_template(cfg: ModelConfig, *, with_fx=True, with_time=False):
+    model = cfg.build()
+    rng = np.random.RandomState(0)
+    n = 64 if cfg.variant == "irregular" else cfg.H * cfg.W * (
+        cfg.D if cfg.variant == "structured_3d" else 1)
+    x = rng.rand(1, n, cfg.space_dim).astype(np.float32)
+    fx = rng.rand(1, n, cfg.fun_dim).astype(np.float32) if with_fx else None
+    args = [x, fx]
+    if with_time:
+        args.append(np.ones((1,), np.float32))
+    return jax.jit(model.init)(jax.random.PRNGKey(0), *args), model, args
+
+
+CASES = {
+    "irregular": dict(
+        variant="irregular", space_dim=3, fun_dim=1, out_dim=1, n_layers=2,
+        n_hidden=64, n_head=4, slice_num=16, mlp_ratio=2, dropout=0.0),
+    "structured_2d": dict(
+        variant="structured_2d", space_dim=2, fun_dim=1, out_dim=1,
+        n_layers=1, n_hidden=64, n_head=4, slice_num=16, mlp_ratio=2,
+        dropout=0.0, H=16, W=16, unified_pos=True, Time_Input=True),
+}
+
+
+def _ref_model(ref_models, name):
+    import torch
+
+    torch.manual_seed(0)
+    if name == "irregular":
+        return ref_models.HAETransolver_Irregular_Mesh(
+            space_dim=3, n_layers=2, n_hidden=64, dropout=0.0, n_head=4,
+            Time_Input=False, act="gelu", mlp_ratio=2, fun_dim=1, out_dim=1,
+            slice_num=16, ref=8, unified_pos=0)
+    return ref_models.HAETransolver_Structured_Mesh_2D(
+        space_dim=2, n_layers=1, n_hidden=64, dropout=0.0, n_head=4,
+        Time_Input=True, act="gelu", mlp_ratio=2, fun_dim=1, out_dim=1,
+        slice_num=16, ref=8, unified_pos=1, H=16, W=16)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_import_consumes_real_reference_state_dict(ref_models, name):
+    """Every key of the real reference state_dict maps onto a template leaf
+    (and fills every leaf) -- strict mode passes with no missing/unused."""
+    sd = {k: v.numpy() for k, v in _ref_model(ref_models, name)
+          .state_dict().items()}
+    cfg = ModelConfig(**CASES[name])
+    template, model, args = _our_template(
+        cfg, with_time=CASES[name].get("Time_Input", False))
+
+    variables = convert_state_dict(sd, template, strict=True)
+
+    # Imported values actually landed: a distinctive non-square Linear.
+    got = variables["params"]["preprocess"]["linear_pre"]["kernel"]
+    np.testing.assert_array_equal(
+        got, sd["preprocess.linear_pre.0.weight"].T)
+    # Square Linear orientation (transpose matters, shape can't catch it).
+    got = variables["params"]["blocks_0"]["Attn"]["in_project_slice_kernel"]
+    np.testing.assert_array_equal(
+        got, sd["blocks.0.Attn.in_project_slice.weight"].T)
+    # BatchNorm running stats land in batch_stats.
+    bs = variables["batch_stats"]["blocks_0"]["Attn"]["erwin"]["encoder0"][
+        "pool"]["norm"]
+    np.testing.assert_array_equal(
+        bs["mean"],
+        sd["blocks.0.Attn.erwin.encoder.0.pool.norm.running_mean"])
+
+    # The imported variables drive a real forward.
+    out = model.apply(variables, *args)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_export_matches_real_reference_schema(ref_models, name):
+    """to_torch_state_dict emits exactly the reference's key names and
+    torch-layout shapes (minus num_batches_tracked counters)."""
+    ref_sd = _ref_model(ref_models, name).state_dict()
+    cfg = ModelConfig(**CASES[name])
+    template, _, _ = _our_template(
+        cfg, with_time=CASES[name].get("Time_Input", False))
+
+    ours = to_torch_state_dict(template)
+
+    ref_keys = {k for k in ref_sd if not k.endswith("num_batches_tracked")}
+    assert set(ours) == ref_keys
+    for k in sorted(ref_keys):
+        assert tuple(ours[k].shape) == tuple(ref_sd[k].shape), k
+
+
+def test_conv2d_kernel_orientation(ref_models):
+    """The 2D variant's Conv2d slice projection round-trips OIHW<->HWIO."""
+    sd = {k: v.numpy() for k, v in _ref_model(ref_models, "structured_2d")
+          .state_dict().items()}
+    cfg = ModelConfig(**CASES["structured_2d"])
+    template, _, _ = _our_template(cfg, with_time=True)
+    variables = convert_state_dict(sd, template, strict=True)
+    w = sd["blocks.0.Attn.in_project_x.weight"]  # OIHW
+    got = variables["params"]["blocks_0"]["Attn"]["in_project_x"]["kernel"]
+    np.testing.assert_array_equal(got, w.transpose(2, 3, 1, 0))
+
+
+def test_round_trip_exact():
+    """import(export(variables)) is bitwise-identical."""
+    cfg = ModelConfig(**CASES["irregular"])
+    template, _, _ = _our_template(cfg)
+    sd = to_torch_state_dict(template)
+    back = convert_state_dict(sd, template, strict=True)
+    flat_a = jax.tree_util.tree_leaves_with_path(template)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (pb, b) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                sorted(flat_b, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_container_unwrap_and_compile_prefix():
+    """Reference training checkpoints ({'model_state_dict': ...},
+    train.py:250-259) and torch.compile '_orig_mod.' prefixes are handled."""
+    cfg = ModelConfig(**CASES["irregular"])
+    template, _, _ = _our_template(cfg)
+    sd = to_torch_state_dict(template)
+    wrapped = {"epoch": 3,
+               "model_state_dict": {"_orig_mod." + k: v
+                                    for k, v in sd.items()}}
+    back = convert_state_dict(wrapped, template, strict=True)
+    np.testing.assert_array_equal(
+        np.asarray(back["params"]["placeholder"]),
+        np.asarray(template["params"]["placeholder"]))
+
+
+def test_strict_reports_missing_and_unused():
+    cfg = ModelConfig(**CASES["irregular"])
+    template, _, _ = _our_template(cfg)
+    sd = to_torch_state_dict(template)
+    sd.pop("placeholder")
+    sd["not.a.real.key"] = np.zeros(3, np.float32)
+    with pytest.raises(ValueError, match="placeholder"):
+        convert_state_dict(sd, template, strict=True)
+    with pytest.raises(ValueError, match="not.a.real.key"):
+        convert_state_dict(sd, template, strict=True)
+    # non-strict: fills what it can, keeps template values elsewhere
+    out = convert_state_dict(sd, template, strict=False)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["placeholder"]),
+        np.asarray(template["params"]["placeholder"]))
+
+
+def test_shape_mismatch_raises():
+    cfg = ModelConfig(**CASES["irregular"])
+    template, _, _ = _our_template(cfg)
+    sd = to_torch_state_dict(template)
+    sd["placeholder"] = np.zeros(7, np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        convert_state_dict(sd, template, strict=True)
