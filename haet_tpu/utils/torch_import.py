@@ -133,7 +133,8 @@ def _translate_module_path(key: str) -> str:
 
 
 def convert_state_dict(state_dict: Mapping[str, Any], template: Mapping,
-                       *, strict: bool = True) -> dict:
+                       *, strict: bool = True,
+                       rename: Mapping[str, str] | None = None) -> dict:
     """Convert a reference torch ``state_dict`` into flax ``variables``.
 
     Args:
@@ -147,6 +148,11 @@ def convert_state_dict(state_dict: Mapping[str, Any], template: Mapping,
         checkpoint key is unused (BatchNorm ``num_batches_tracked`` counters
         are always ignored). With ``strict=False`` unfilled leaves keep the
         template's values.
+      rename: optional prefix-rewrite map applied (longest prefix first,
+        once per key, after wrapper-prefix stripping) for models whose
+        wrapper naming differs from this package's -- e.g. the 02.1
+        Erwin-only baseline: ``{"model.": "erwin.", "pred_head.0.":
+        "head1.", "pred_head.2.": "head2."}``.
 
     Returns a new variables dict (numpy leaves, template dtypes).
     """
@@ -154,6 +160,9 @@ def convert_state_dict(state_dict: Mapping[str, Any], template: Mapping,
         if c in state_dict and isinstance(state_dict[c], Mapping):
             state_dict = state_dict[c]
             break
+
+    rename = dict(sorted((rename or {}).items(),
+                         key=lambda kv: -len(kv[0])))
 
     flat_tmpl = _flatten(template)
     by_path = dict(flat_tmpl)  # (col, ...) -> leaf template
@@ -164,6 +173,10 @@ def convert_state_dict(state_dict: Mapping[str, Any], template: Mapping,
         key = _strip(raw_key)
         if key.endswith("num_batches_tracked"):
             continue
+        for pre, sub in rename.items():
+            if key.startswith(pre):
+                key = sub + key[len(pre):]
+                break
         val = _to_numpy(raw_val)
         k = _translate_module_path(key)
         parts = k.split(".")

@@ -207,6 +207,71 @@ def test_flagship_preset_matches_vendored_car_model_schema(ref_models):
     assert set(ours) == ref_keys
 
 
+def test_erwin_baseline_wrapper_imports_with_rename(ref_models):
+    """The 02.1 Erwin-only baseline (ErwinWrapper, 02.1/main.py:51-106 —
+    `model.` = bare ErwinTransformer with mp_steps=3, `pred_head.{0,2}` =
+    GELU head) imports into benchmarks/erwin_baseline.ErwinCarModel via
+    convert_state_dict's `rename` hook, strict, incl. the MPNN keys
+    (fused_message_update / update_fns)."""
+    import sys
+
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    # Same displacement dance as the vendored car test: 02.1 vendors its
+    # own 'models' package.
+    base = "/root/reference/benchmarks/02.1-Car-Design-ShapeNetCar"
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "models" or k.startswith("models.")}
+    sys.path.insert(0, base)
+    try:
+        from models.components.erwinflash import ErwinTransformer as RefErwin
+    except Exception as e:
+        pytest.skip(f"vendored 02.1 erwin unavailable: {e}")
+    finally:
+        sys.path.remove(base)
+        for k in list(sys.modules):
+            if k == "models" or k.startswith("models."):
+                del sys.modules[k]
+        sys.modules.update(saved)
+
+    class ErwinWrapper(nn.Module):  # exact naming of 02.1/main.py:52-80
+        def __init__(self):
+            super().__init__()
+            self.model = RefErwin(
+                c_in=7, c_hidden=[128, 128], ball_sizes=[64, 32],
+                enc_num_heads=[8, 8], enc_depths=[4, 4],
+                dec_num_heads=[8], dec_depths=[4], strides=[2], rotate=45,
+                decode=True, mlp_ratio=4, dimensionality=3, mp_steps=3)
+            self.pred_head = nn.Sequential(
+                nn.Linear(128, 128), nn.GELU(), nn.Linear(128, 4))
+
+    sd = {k: v.numpy() for k, v in ErwinWrapper().state_dict().items()}
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]
+                           / "benchmarks"))
+    try:
+        from erwin_baseline import ErwinCarModel
+    finally:
+        sys.path.pop(0)
+    model = ErwinCarModel()
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 256, 7).astype(np.float32)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    variables = convert_state_dict(
+        sd, template, strict=True,
+        rename={"model.": "erwin.", "pred_head.0.": "head1.",
+                "pred_head.2.": "head2."})
+    # MPNN weights really landed (orientation: torch [out, in] -> kernel)
+    got = variables["params"]["erwin"]["embed"]["mpnn"]["message_0"]["kernel"]
+    np.testing.assert_array_equal(
+        got, sd["model.embed.mpnn.fused_message_update.0.0.weight"].T)
+    out = model.apply(variables, jax.numpy.asarray(x))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_conv2d_kernel_orientation(ref_models):
     """The 2D variant's Conv2d slice projection round-trips OIHW<->HWIO."""
     sd = {k: v.numpy() for k, v in _ref_model(ref_models, "structured_2d")
