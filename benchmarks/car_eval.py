@@ -136,7 +136,11 @@ def main(args):
             os.path.join(args.export_artifact, f"b1_n{n}"),
             model, variables, (batch["x"], None),
             extra_manifest={"fold_id": args.fold_id,
-                            "checkpoint": args.which},
+                            # provenance: where the weights actually came from
+                            "checkpoint": (
+                                f"torch:{args.torch_checkpoint}"
+                                if getattr(args, "torch_checkpoint", None)
+                                else args.which)},
         )
         print(f"serving artifact -> {path}")
 

@@ -35,6 +35,7 @@ import re
 from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
+from flax import traverse_util
 
 # torch.compile / DataParallel wrappers the reference eval already strips
 # (``main_evaluation.py:229-240``).
@@ -43,30 +44,24 @@ _PREFIXES = ("_orig_mod.", "module.")
 # Containers the reference wraps state_dicts in (``train.py:250-259``).
 _CONTAINER_KEYS = ("model_state_dict", "state_dict", "model")
 
+_EMPTY = traverse_util.empty_node
 
-def _flatten(tree: Mapping, path: Tuple[str, ...] = ()) -> Dict[tuple, Any]:
-    out: Dict[tuple, Any] = {}
-    for k, v in tree.items():
-        if isinstance(v, Mapping):
-            out.update(_flatten(v, path + (str(k),)))
-        else:
-            out[path + (str(k),)] = v
-    return out
+
+def _flatten(tree: Mapping, *, keep_empty: bool = False) -> Dict[tuple, Any]:
+    return traverse_util.flatten_dict(dict(tree), keep_empty_nodes=keep_empty)
 
 
 def _unflatten(flat: Mapping[tuple, Any]) -> dict:
-    tree: dict = {}
-    for path, v in flat.items():
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = v
-    return tree
+    return traverse_util.unflatten_dict(dict(flat))
 
 
 def _to_numpy(v) -> np.ndarray:
     if hasattr(v, "detach"):  # torch tensor without importing torch
-        v = v.detach().cpu().numpy()
+        v = v.detach().cpu()
+        try:
+            return np.asarray(v.numpy())
+        except TypeError:  # bf16 etc. -- numpy has no matching dtype
+            return np.asarray(v.float().numpy())
     return np.asarray(v)
 
 
@@ -78,7 +73,9 @@ def _kernel_of(w: np.ndarray) -> np.ndarray:
         return w.transpose(2, 3, 1, 0)
     if w.ndim == 5:  # OIDHW -> DHWIO
         return w.transpose(2, 3, 4, 1, 0)
-    return w
+    raise ValueError(
+        f"unsupported torch weight ndim {w.ndim} for flax kernel layout "
+        "(expected Linear [out,in], Conv2d OIHW, or Conv3d OIDHW)")
 
 
 def _weight_of(k: np.ndarray, ndim: int) -> np.ndarray:
@@ -89,7 +86,8 @@ def _weight_of(k: np.ndarray, ndim: int) -> np.ndarray:
         return k.transpose(3, 2, 0, 1)
     if ndim == 5:
         return k.transpose(4, 3, 0, 1, 2)
-    return k
+    raise ValueError(
+        f"unsupported flax kernel ndim {ndim} for torch weight layout")
 
 
 def _strip(key: str) -> str:
@@ -164,8 +162,11 @@ def convert_state_dict(state_dict: Mapping[str, Any], template: Mapping,
     rename = dict(sorted((rename or {}).items(),
                          key=lambda kv: -len(kv[0])))
 
-    flat_tmpl = _flatten(template)
-    by_path = dict(flat_tmpl)  # (col, ...) -> leaf template
+    # keep_empty: an empty collection (e.g. batch_stats on a BN-free model)
+    # must survive into the returned tree so callers can index it.
+    flat_tmpl = _flatten(template, keep_empty=True)
+    by_path = {p: v for p, v in flat_tmpl.items()
+               if v is not _EMPTY}  # (col, ...) -> leaf template
     out: Dict[tuple, np.ndarray] = {}
     unused, errors = [], []
 
@@ -223,7 +224,7 @@ def convert_state_dict(state_dict: Mapping[str, Any], template: Mapping,
             continue
         out[path] = arr.astype(np.asarray(tmpl_leaf).dtype)
 
-    missing = [p for p in flat_tmpl if p not in out]
+    missing = [p for p in by_path if p not in out]
     if errors:
         raise ValueError("shape mismatches importing checkpoint:\n  "
                          + "\n  ".join(errors))
@@ -240,7 +241,8 @@ def convert_state_dict(state_dict: Mapping[str, Any], template: Mapping,
     merged = dict(flat_tmpl)
     for p, v in out.items():
         merged[p] = v
-    merged = {p: np.asarray(v) for p, v in merged.items()}
+    merged = {p: (v if v is _EMPTY else np.asarray(v))
+              for p, v in merged.items()}
     return _unflatten(merged)
 
 
@@ -299,13 +301,22 @@ def to_torch_state_dict(variables: Mapping) -> Dict[str, np.ndarray]:
 
 
 def load_torch_checkpoint(path: str, template: Mapping, *,
-                          strict: bool = True) -> dict:
+                          strict: bool = True,
+                          rename: Mapping[str, str] | None = None,
+                          weights_only: bool = True) -> dict:
     """``torch.load`` a reference ``.pt`` checkpoint file and convert it.
 
     Accepts both bare state_dicts and the reference's training-checkpoint
     dicts (``{"epoch", "model_state_dict", ...}``, ``train.py:250-259``).
+    Loads with ``weights_only=True`` by default: reference checkpoints are
+    plain tensor/int/dict trees and need no pickle code execution. Only pass
+    ``weights_only=False`` for a file you trust completely -- unpickling
+    arbitrary files executes arbitrary code.
+
+    ``rename`` is forwarded to :func:`convert_state_dict` (prefix rewrites
+    for wrapper naming, e.g. the 02.1 Erwin-only baseline).
     """
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    return convert_state_dict(sd, template, strict=strict)
+    sd = torch.load(path, map_location="cpu", weights_only=weights_only)
+    return convert_state_dict(sd, template, strict=strict, rename=rename)

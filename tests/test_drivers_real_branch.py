@@ -159,11 +159,19 @@ def test_car_eval_torch_checkpoint_import(tmp_path, capsys):
         torch_checkpoint=pt,
         n_hidden=32, n_layers=1, slice_num=16, visualize=False,
         max_slice_figs=None, scatter=False, out_dir=str(tmp_path / "runs"),
-        export_artifact=None, smoke=True,
+        export_artifact=str(tmp_path / "artifact"), smoke=True,
     )
     m1 = car_eval.main(args)
     out = capsys.readouterr().out
     assert "imported reference torch checkpoint" in out
+    # The serving artifact's manifest must record the TRUE weight source
+    # (the torch file), not the default orbax checkpoint name.
+    import glob
+    import json
+    [manifest] = glob.glob(str(tmp_path / "artifact" / "*" / "manifest.json"))
+    with open(manifest) as fh:
+        assert json.load(fh)["checkpoint"] == f"torch:{pt}"
+    args.export_artifact = None
     m2 = car_eval.main(args)
     capsys.readouterr()
     assert m1["rel_l2_press"] == m2["rel_l2_press"]

@@ -23,16 +23,34 @@ from haet_tpu.utils.torch_import import (
 )
 
 
-def _stub(name, **attrs):
-    m = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules.setdefault(name, m)
-
-
 @pytest.fixture(scope="module")
-def ref_models():
-    """Import the reference ``models`` package with CUDA deps stubbed."""
+def ref_models(request):
+    """Import the reference ``models`` package with CUDA deps stubbed.
+
+    Everything installed here (stub modules, the imported reference
+    package, the ``torch.Tensor.cuda`` neutralization) is undone at module
+    teardown so the rest of the suite sees a pristine torch/sys.modules.
+    """
+    installed: list[str] = []
+
+    def _stub(name, **attrs):
+        if name in sys.modules:  # a real module is present; leave it
+            return
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        installed.append(name)
+
+    def _teardown():
+        torch.Tensor.cuda = orig_cuda  # type: ignore[method-assign]
+        for name in installed:
+            sys.modules.pop(name, None)
+        for name in [n for n in sys.modules
+                     if n == "models" or n.startswith("models.")
+                     if n not in modules_before]:
+            sys.modules.pop(name, None)
+
     _stub("flash_attn", flash_attn_qkvpacked_func=lambda *a, **k: None)
     _stub("torch_cluster", radius_graph=lambda *a, **k: None)
     _stub("torch_scatter", scatter_mean=lambda *a, **k: None)
@@ -40,19 +58,21 @@ def ref_models():
           build_balltree_with_rotations=lambda *a, **k: None,
           build_balltree=lambda *a, **k: None,
           partition_balltree=lambda *a, **k: None)
+    import torch
+
     try:
         from timm.models.layers import trunc_normal_  # noqa: F401
     except Exception:
-        import torch
-
         _stub("timm")
         _stub("timm.models")
         _stub("timm.models.layers",
               trunc_normal_=lambda t, std=1.0: t.data.normal_(0, std))
-    import torch
 
     # get_grid() calls .cuda() at construction (reference
     # HAETransolver_Structured_Mesh_2D.py:346); neutralize on CPU.
+    orig_cuda = torch.Tensor.cuda
+    modules_before = set(sys.modules)
+    request.addfinalizer(_teardown)
     torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore
     sys.path.insert(0, "/root/reference")
     try:
@@ -338,3 +358,54 @@ def test_shape_mismatch_raises():
     sd["placeholder"] = np.zeros(7, np.float32)
     with pytest.raises(ValueError, match="shape"):
         convert_state_dict(sd, template, strict=True)
+
+
+def test_empty_collections_survive():
+    """A BN-free model's empty batch_stats must survive the round trip so
+    callers can index variables["batch_stats"] unconditionally."""
+    template = {"params": {"dense": {"kernel": np.zeros((3, 4), np.float32),
+                                     "bias": np.zeros(4, np.float32)}},
+                "batch_stats": {}}
+    sd = to_torch_state_dict(template)
+    out = convert_state_dict(sd, template, strict=True)
+    assert out["batch_stats"] == {}
+
+
+def test_bf16_tensors_import():
+    """Half/bf16-saved checkpoints import (torch bf16 has no numpy dtype)."""
+    torch = pytest.importorskip("torch")
+    template = {"params": {"dense": {"kernel": np.zeros((3, 4), np.float32),
+                                     "bias": np.zeros(4, np.float32)}}}
+    w = torch.randn(4, 3)
+    sd = {"dense.weight": w.bfloat16(), "dense.bias": torch.zeros(4).half()}
+    out = convert_state_dict(sd, template, strict=True)
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["dense"]["kernel"]),
+        w.bfloat16().float().numpy().T)
+    assert out["params"]["dense"]["kernel"].dtype == np.float32
+
+
+def test_unsupported_weight_ndim_raises():
+    """Conv1d-style OIW weights must fail loudly, not pass untransposed."""
+    template = {"params": {"c": {"kernel": np.zeros((5, 2, 3), np.float32)}}}
+    sd = {"c.weight": np.zeros((3, 2, 5), np.float32)}
+    with pytest.raises(ValueError, match="ndim"):
+        convert_state_dict(sd, template, strict=True)
+
+
+def test_load_torch_checkpoint_weights_only_and_rename(tmp_path):
+    """File-level load uses weights_only=True and forwards rename=."""
+    torch = pytest.importorskip("torch")
+    from haet_tpu.utils.torch_import import load_torch_checkpoint
+
+    template = {"params": {"inner": {"dense": {
+        "kernel": np.zeros((3, 4), np.float32),
+        "bias": np.zeros(4, np.float32)}}}}
+    w, b = torch.randn(4, 3), torch.randn(4)
+    path = tmp_path / "ck.pt"
+    torch.save({"model_state_dict": {"wrapped.dense.weight": w,
+                                     "wrapped.dense.bias": b}}, path)
+    out = load_torch_checkpoint(str(path), template,
+                                rename={"wrapped.": "inner."})
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["inner"]["dense"]["kernel"]), w.numpy().T)
