@@ -105,6 +105,11 @@ CASES = {
         variant="structured_2d", space_dim=2, fun_dim=1, out_dim=1,
         n_layers=1, n_hidden=64, n_head=4, slice_num=16, mlp_ratio=2,
         dropout=0.0, H=16, W=16, unified_pos=True, Time_Input=True),
+    # exercises the Conv3d OIDHW<->DHWIO transpose against the real model
+    "structured_3d": dict(
+        variant="structured_3d", space_dim=3, fun_dim=1, out_dim=1,
+        n_layers=1, n_hidden=64, n_head=4, slice_num=16, mlp_ratio=2,
+        dropout=0.0, H=8, W=8, D=8, unified_pos=True),
 }
 
 
@@ -117,6 +122,11 @@ def _ref_model(ref_models, name):
             space_dim=3, n_layers=2, n_hidden=64, dropout=0.0, n_head=4,
             Time_Input=False, act="gelu", mlp_ratio=2, fun_dim=1, out_dim=1,
             slice_num=16, ref=8, unified_pos=0)
+    if name == "structured_3d":
+        return ref_models.HAETransolver_Structured_Mesh_3D(
+            space_dim=3, n_layers=1, n_hidden=64, dropout=0.0, n_head=4,
+            Time_Input=False, act="gelu", mlp_ratio=2, fun_dim=1, out_dim=1,
+            slice_num=16, ref=8, unified_pos=1, H=8, W=8, D=8)
     return ref_models.HAETransolver_Structured_Mesh_2D(
         space_dim=2, n_layers=1, n_hidden=64, dropout=0.0, n_head=4,
         Time_Input=True, act="gelu", mlp_ratio=2, fun_dim=1, out_dim=1,
