@@ -61,6 +61,10 @@ def apply_model_args(cfg, args):
     cfg.train.lr = args.lr
     cfg.train.weight_decay = args.weight_decay
     cfg.train.epochs = args.epochs
+    if cfg.train.t_max is not None:
+        # cosine_annealing presets tie T_max to the epoch count, like the
+        # reference's CosineAnnealingLR(T_max=epochs) (exp_elas.py:128)
+        cfg.train.t_max = args.epochs
     cfg.train.batch_size = args.batch_size
     cfg.train.max_grad_norm = args.max_grad_norm
     cfg.train.accum_steps = getattr(args, "accum_steps", 1)

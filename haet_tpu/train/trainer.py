@@ -52,6 +52,17 @@ def make_schedule(cfg: TrainConfig, total_steps: int):
             div_factor=25.0,
             final_div_factor=1e4,
         )
+    if cfg.schedule == "cosine_annealing":
+        # torch CosineAnnealingLR closed form, eta_min=0:
+        #   lr(t) = lr * (1 + cos(pi * t / T_max)) / 2
+        # The reference's exp_elas.py:128,226 constructs it with
+        # T_max=EPOCHS but calls scheduler.step() per BATCH, so the LR
+        # oscillates with period 2*epochs optimizer steps (cos is
+        # periodic). cfg.t_max reproduces that: the period is t_max
+        # scheduler steps, counted per optimizer step like the reference.
+        t_max = cfg.t_max if cfg.t_max is not None else total_steps
+        return lambda step: cfg.lr * 0.5 * (1.0 + jnp.cos(
+            jnp.pi * step / t_max))
     if cfg.schedule == "constant":
         return lambda step: cfg.lr
     raise ValueError(f"unknown schedule {cfg.schedule!r}")

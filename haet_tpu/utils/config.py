@@ -104,8 +104,13 @@ class TrainConfig:
     epochs: int = 500
     batch_size: int = 8
     max_grad_norm: Optional[float] = None
-    schedule: str = "onecycle"  # onecycle | constant
+    schedule: str = "onecycle"  # onecycle | cosine_annealing | constant
     pct_start: float = 0.3
+    # cosine_annealing only: half-period in optimizer steps (torch
+    # CosineAnnealingLR T_max). None -> the run's total step count.
+    # The reference's exp_elas steps a T_max=epochs scheduler per batch
+    # (exp_elas.py:128,226) — set t_max=epochs to reproduce that.
+    t_max: Optional[int] = None
     optimizer: str = "adamw"  # adamw | adam
     seed: int = 0
     # early stopping (reference train.py:21-46)
@@ -209,8 +214,11 @@ def elasticity_config() -> ExperimentConfig:
             n_layers=8, n_hidden=128, n_head=8, slice_num=64,
             mlp_ratio=1, unified_pos=False,
         ),
+        # reference exp_elas.py:128 uses CosineAnnealingLR(T_max=epochs)
+        # stepped per batch (not OneCycle like the other five drivers)
         train=TrainConfig(lr=1e-3, weight_decay=1e-5, epochs=500, batch_size=1,
-                          checkpoint_every=100),
+                          checkpoint_every=100,
+                          schedule="cosine_annealing", t_max=500),
     )
 
 

@@ -179,6 +179,36 @@ def test_onecycle_schedule_shape():
     assert float(jnp.max(jnp.abs(upd["w"]))) == 0.0
 
 
+def test_cosine_annealing_matches_torch_per_batch_stepping():
+    """schedule='cosine_annealing' reproduces the reference exp_elas LR
+    trajectory: torch CosineAnnealingLR(T_max=epochs) stepped once per
+    BATCH (exp_elas.py:128,226), i.e. an oscillation with period
+    2*t_max optimizer steps — including past the first period."""
+    import torch
+
+    from haet_tpu.train.trainer import make_schedule
+
+    t_max, lr = 7, 1e-3
+    cfg = TrainConfig(lr=lr, schedule="cosine_annealing", t_max=t_max)
+    sched = make_schedule(cfg, total_steps=1000)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=lr)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=t_max)
+    for step in range(4 * t_max):  # two full oscillations
+        torch_lr = opt.param_groups[0]["lr"]  # lr used AT this step
+        np.testing.assert_allclose(float(sched(step)), torch_lr,
+                                   rtol=1e-6, atol=1e-12, err_msg=f"step {step}")
+        opt.step()
+        tsched.step()
+
+    # t_max defaults to the run's total step count when unset
+    cfg2 = TrainConfig(lr=lr, schedule="cosine_annealing")
+    s2 = make_schedule(cfg2, total_steps=50)
+    assert float(s2(0)) == pytest.approx(lr)
+    assert float(s2(50)) == pytest.approx(0.0, abs=1e-12)
+
+
 def test_train_steps_scan_matches_sequential():
     """K steps in one scanned program == K dispatched train_step calls
     (same rng split sequence)."""
