@@ -36,6 +36,9 @@ def base_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--ntrain", type=int, default=1000)
     p.add_argument("--ntest", type=int, default=200)
     p.add_argument("--bf16", type=int, default=0)
+    p.add_argument("--mu_bf16", type=int, default=0,
+                   help="store Adam's first moment in bfloat16 "
+                        "(saves 2 bytes/param of optimizer-state HBM)")
     p.add_argument("--use_checkpoint", type=int, default=0,
                    help="rematerialize each block in the backward pass "
                         "(trades FLOPs for activation memory)")
@@ -68,6 +71,7 @@ def apply_model_args(cfg, args):
     cfg.train.batch_size = args.batch_size
     cfg.train.max_grad_norm = args.max_grad_norm
     cfg.train.accum_steps = getattr(args, "accum_steps", 1)
+    cfg.train.mu_bf16 = bool(getattr(args, "mu_bf16", 0))
     cfg.model.n_hidden = args.n_hidden
     cfg.model.n_layers = args.n_layers
     cfg.model.n_head = args.n_heads

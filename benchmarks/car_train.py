@@ -134,6 +134,7 @@ def main(args):
     cfg.model.n_layers = args.n_layers
     cfg.model.slice_num = args.slice_num
     cfg.model.bf16 = bool(args.bf16)
+    cfg.train.mu_bf16 = bool(getattr(args, "mu_bf16", 0))
     if args.smoke:
         # reset the preset's pinned Erwin sizing (8-head, depth-4, vendored
         # reference config) to the defaults, which scale with n_head —
@@ -224,6 +225,9 @@ if __name__ == "__main__":
     p.add_argument("--n_layers", type=int, default=2)
     p.add_argument("--slice_num", type=int, default=32)
     p.add_argument("--bf16", type=int, default=0)
+    p.add_argument("--mu_bf16", type=int, default=0,
+                   help="store Adam's first moment in bfloat16 "
+                        "(saves 2 bytes/param of optimizer-state HBM)")
     p.add_argument("--out_dir", type=str, default="./runs")
     p.add_argument("--prefetch", type=int, default=2,
                    help="background batch prefetch depth (0 disables)")

@@ -56,6 +56,7 @@ def build(args):
     cfg.model.bf16 = bool(args.bf16)
     cfg.train.max_grad_norm = getattr(args, "max_grad_norm", None)
     cfg.train.accum_steps = getattr(args, "accum_steps", 1)
+    cfg.train.mu_bf16 = bool(getattr(args, "mu_bf16", 0))
     return cfg
 
 
@@ -174,6 +175,9 @@ if __name__ == "__main__":
     p.add_argument("--ntrain", type=int, default=1000)
     p.add_argument("--ntest", type=int, default=200)
     p.add_argument("--bf16", type=int, default=0)
+    p.add_argument("--mu_bf16", type=int, default=0,
+                   help="store Adam's first moment in bfloat16 "
+                        "(saves 2 bytes/param of optimizer-state HBM)")
     p.add_argument("--data_path", type=str, default="./data/fno")
     p.add_argument("--out_dir", type=str, default="./runs")
     p.add_argument("--showcase", action="store_true",

@@ -69,13 +69,22 @@ def make_schedule(cfg: TrainConfig, total_steps: int):
 
 
 def make_optimizer(cfg: TrainConfig, total_steps: int):
-    """AdamW/Adam + OneCycle (reference ``exp_darcy.py:132-139``)."""
+    """AdamW/Adam + OneCycle (reference ``exp_darcy.py:132-139``).
+
+    ``cfg.mu_bf16`` stores Adam's first moment in bfloat16 (optax
+    ``mu_dtype``) — a TPU HBM lever worth ~2 bytes/param of optimizer
+    state. The second moment stays f32 (it spans a wide dynamic range and
+    directly scales the update); the first moment is a smoothed gradient
+    where bf16's 8 mantissa bits cost noise far below gradient noise.
+    """
     sched = make_schedule(cfg, total_steps)
 
+    mu_dtype = jnp.bfloat16 if cfg.mu_bf16 else None
     if cfg.optimizer == "adamw":
-        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay,
+                         mu_dtype=mu_dtype)
     elif cfg.optimizer == "adam":
-        tx = optax.adam(sched)
+        tx = optax.adam(sched, mu_dtype=mu_dtype)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 

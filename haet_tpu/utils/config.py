@@ -112,6 +112,9 @@ class TrainConfig:
     # (exp_elas.py:128,226) — set t_max=epochs to reproduce that.
     t_max: Optional[int] = None
     optimizer: str = "adamw"  # adamw | adam
+    # store Adam's first moment in bfloat16 (optax mu_dtype): saves
+    # 2 bytes/param of optimizer-state HBM; second moment stays f32
+    mu_bf16: bool = False
     seed: int = 0
     # early stopping (reference train.py:21-46)
     early_stop_patience: Optional[int] = None

@@ -209,6 +209,39 @@ def test_cosine_annealing_matches_torch_per_batch_stepping():
     assert float(s2(50)) == pytest.approx(0.0, abs=1e-12)
 
 
+def test_mu_bf16_moments_dtype_and_numerics():
+    """mu_bf16=True stores Adam's first moment in bfloat16 (the optimizer-
+    state HBM lever) while keeping nu in f32, and a short train run stays
+    close to the f32-moment trajectory."""
+    import optax
+
+    from haet_tpu.train import make_optimizer
+
+    def run(mu_bf16):
+        cfg = TrainConfig(lr=1e-2, schedule="constant", mu_bf16=mu_bf16,
+                          weight_decay=0.0)
+        tx = make_optimizer(cfg, total_steps=20)
+        params = {"w": jnp.linspace(-1.0, 1.0, 64).reshape(8, 8)}
+        st = tx.init(params)
+        leaves = jax.tree_util.tree_leaves(
+            st, is_leaf=lambda x: hasattr(x, "dtype"))
+        dtypes = {l.dtype for l in leaves if hasattr(l, "dtype")
+                  and l.shape == (8, 8)}
+        for _ in range(20):
+            g = {"w": params["w"] * 0.1 + 0.01}
+            upd, st = tx.update(g, st, params)
+            params = optax.apply_updates(params, upd)
+        return params, dtypes
+
+    p32, d32 = run(False)
+    pbf, dbf = run(True)
+    bf16, f32 = np.dtype(jnp.bfloat16), np.dtype(jnp.float32)
+    assert bf16 in dbf and bf16 not in d32
+    assert f32 in dbf  # nu stays f32
+    np.testing.assert_allclose(np.asarray(pbf["w"]),
+                               np.asarray(p32["w"]), rtol=0, atol=5e-3)
+
+
 def test_train_steps_scan_matches_sequential():
     """K steps in one scanned program == K dispatched train_step calls
     (same rng split sequence)."""
