@@ -184,6 +184,28 @@ def test_car_eval_torch_checkpoint_import(tmp_path, capsys):
     assert m1["rel_l2_press"] != m3["rel_l2_press"]
 
 
+def test_erwin_baseline_real_branch(tmp_path, capsys):
+    """erwin_baseline.main() (the 02.1 Erwin-only car baseline) trains and
+    evaluates on a fixture-built on-disk dataset — the radius-graph MPNN
+    path runs on REAL loader output, not the synthetic fallback."""
+    import erwin_baseline
+
+    data_dir = str(tmp_path / "training_data")
+    _build_car_dataset(data_dir)
+
+    args = argparse.Namespace(
+        data_dir=data_dir, fold_id=0, epochs=2, lr=1e-3, weight=0.5,
+        hidden_dim=32, mp_steps=1, r=0.2, out_dir=str(tmp_path / "runs"),
+        smoke=False,
+    )
+    metrics = erwin_baseline.main(args)
+    out = capsys.readouterr().out
+    assert "synthetic stand-in" not in out
+    assert "nb_parameters" in out
+    assert np.isfinite(metrics["rel_l2_press"])
+    assert np.isfinite(metrics["rel_l2_velo"])
+
+
 def test_car_cache_roundtrip_identical():
     """The npy cache must reproduce the VTK-parsed samples bit-for-bit
     (loader-level check of the same branch the driver test exercises)."""
