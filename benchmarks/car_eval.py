@@ -84,6 +84,22 @@ def main(args):
         print("c_d:", metrics["cd_rel_err"])
     print("time:", metrics["time_per_sample"])
 
+    if getattr(args, "save_preds", False):
+        # per-sample DENORMALIZED prediction/gt dumps, reference
+        # main_evaluation.py:252,297-298 ({index}_pred.npy / {index}_gt.npy
+        # in a results directory)
+        results_dir = os.path.join(args.out_dir, "results")
+        os.makedirs(results_dir, exist_ok=True)
+        for idx, s_ in enumerate(val_s):
+            batch = make_batch(s_)
+            out = trainer.predict(state, batch)
+            od = coef.decode_y(np.asarray(out)[0][: len(s_.pos)])
+            yd = coef.decode_y(s_.y)
+            np.save(os.path.join(results_dir, f"{idx}_pred.npy"), od)
+            np.save(os.path.join(results_dir, f"{idx}_gt.npy"), yd)
+        print(f"per-sample predictions -> {results_dir} "
+              f"({len(val_s)} samples)")
+
     if args.scatter and "rho_d" in metrics:
         # Cd predicted-vs-true scatter (reference main_evaluation.py:360-417)
         import matplotlib
@@ -188,6 +204,10 @@ if __name__ == "__main__":
                    help="cap per-slice dominance figures (None = all G, "
                         "as the reference)")
     p.add_argument("--scatter", action="store_true")
+    p.add_argument("--save_preds", action="store_true",
+                   help="save per-sample denormalized pred/gt .npy dumps "
+                        "into out_dir/results (reference "
+                        "main_evaluation.py:297-298)")
     p.add_argument("--out_dir", type=str, default="./runs")
     p.add_argument("--export_artifact", type=str, default=None,
                    help="write an AOT StableHLO serving artifact "

@@ -160,8 +160,15 @@ def test_car_eval_torch_checkpoint_import(tmp_path, capsys):
         n_hidden=32, n_layers=1, slice_num=16, visualize=False,
         max_slice_figs=None, scatter=False, out_dir=str(tmp_path / "runs"),
         export_artifact=str(tmp_path / "artifact"), smoke=True,
+        save_preds=True,
     )
     m1 = car_eval.main(args)
+    # reference-style per-sample denormalized dumps (main_evaluation.py:297)
+    res = tmp_path / "runs" / "results"
+    pred = np.load(res / "0_pred.npy")
+    gt = np.load(res / "0_gt.npy")
+    assert pred.shape == gt.shape and pred.shape[1] == 4
+    assert np.all(np.isfinite(pred))
     out = capsys.readouterr().out
     assert "imported reference torch checkpoint" in out
     # The serving artifact's manifest must record the TRUE weight source
