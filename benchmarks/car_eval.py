@@ -84,48 +84,47 @@ def main(args):
         print("c_d:", metrics["cd_rel_err"])
     print("time:", metrics["time_per_sample"])
 
-    if getattr(args, "save_preds", False):
-        # per-sample DENORMALIZED prediction/gt dumps, reference
-        # main_evaluation.py:252,297-298 ({index}_pred.npy / {index}_gt.npy
-        # in a results directory)
+    # save_preds and scatter share ONE prediction pass over the fold (each
+    # tunneled dispatch costs 30-150 ms; don't pay it twice).
+    save_preds = getattr(args, "save_preds", False)
+    scatter = args.scatter and "rho_d" in metrics
+    cds_p, cds_g = [], []
+    if save_preds or scatter:
+        from haet_tpu.data.car_metrics import drag_coefficient
+
         results_dir = os.path.join(args.out_dir, "results")
-        os.makedirs(results_dir, exist_ok=True)
+        if save_preds:
+            # per-sample DENORMALIZED prediction/gt dumps, reference
+            # main_evaluation.py:252,297-298 ({index}_pred.npy /
+            # {index}_gt.npy in a results directory)
+            os.makedirs(results_dir, exist_ok=True)
         for idx, s_ in enumerate(val_s):
-            batch = make_batch(s_)
-            out = trainer.predict(state, batch)
+            out = trainer.predict(state, make_batch(s_))
             od = coef.decode_y(np.asarray(out)[0][: len(s_.pos)])
             yd = coef.decode_y(s_.y)
-            np.save(os.path.join(results_dir, f"{idx}_pred.npy"), od)
-            np.save(os.path.join(results_dir, f"{idx}_gt.npy"), yd)
-        print(f"per-sample predictions -> {results_dir} "
-              f"({len(val_s)} samples)")
+            if save_preds:
+                np.save(os.path.join(results_dir, f"{idx}_pred.npy"), od)
+                np.save(os.path.join(results_dir, f"{idx}_gt.npy"), yd)
+            # surf_slice=None would make pos[s_.surf_slice] a newaxis
+            # index (silently wrong Cd), not an error — skip like
+            # evaluate() does
+            if scatter and s_.quads is not None and s_.surf_slice is not None:
+                pts = s_.pos[s_.surf_slice]
+                cds_p.append(drag_coefficient(pts, s_.quads,
+                                              od[s_.surf_slice, 3],
+                                              od[s_.surf_slice, :3]))
+                cds_g.append(drag_coefficient(pts, s_.quads,
+                                              yd[s_.surf_slice, 3],
+                                              yd[s_.surf_slice, :3]))
+        if save_preds:
+            print(f"per-sample predictions -> {results_dir} "
+                  f"({len(val_s)} samples)")
 
-    if args.scatter and "rho_d" in metrics:
+    if scatter:
         # Cd predicted-vs-true scatter (reference main_evaluation.py:360-417)
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        from car_train import evaluate as _  # noqa: F401
-        # recompute per-sample Cds for the plot
-        from haet_tpu.data.car_metrics import drag_coefficient
-        cds_p, cds_g = [], []
-        for s_ in val_s:
-            # surf_slice=None would make pos[s_.surf_slice] a newaxis
-            # index (silently wrong Cd), not an error — skip like
-            # evaluate() does
-            if s_.quads is None or s_.surf_slice is None:
-                continue
-            batch = make_batch(s_)
-            out = trainer.predict(state, batch)
-            od = coef.decode_y(np.asarray(out)[0][: len(s_.pos)])
-            yd = coef.decode_y(s_.y)
-            pts = s_.pos[s_.surf_slice]
-            cds_p.append(drag_coefficient(pts, s_.quads,
-                                          od[s_.surf_slice, 3],
-                                          od[s_.surf_slice, :3]))
-            cds_g.append(drag_coefficient(pts, s_.quads,
-                                          yd[s_.surf_slice, 3],
-                                          yd[s_.surf_slice, :3]))
         fig, ax = plt.subplots(figsize=(5, 5))
         ax.scatter(cds_g, cds_p, s=16)
         lo, hi = min(cds_g + cds_p), max(cds_g + cds_p)

@@ -61,6 +61,10 @@ def make_schedule(cfg: TrainConfig, total_steps: int):
         # periodic). cfg.t_max reproduces that: the period is t_max
         # scheduler steps, counted per optimizer step like the reference.
         t_max = cfg.t_max if cfg.t_max is not None else total_steps
+        if t_max <= 0:
+            raise ValueError(
+                f"cosine_annealing needs t_max > 0, got {t_max} "
+                "(t_max=None uses the run's total step count)")
         return lambda step: cfg.lr * 0.5 * (1.0 + jnp.cos(
             jnp.pi * step / t_max))
     if cfg.schedule == "constant":

@@ -316,7 +316,48 @@ def load_torch_checkpoint(path: str, template: Mapping, *,
     ``rename`` is forwarded to :func:`convert_state_dict` (prefix rewrites
     for wrapper naming, e.g. the 02.1 Erwin-only baseline).
     """
+    import pickle
+
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=weights_only)
+    if not weights_only:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        # The reference car checkpoints are NOT pure tensor trees: train.py
+        # saves ``val_loss``/``train_loss`` as ``np.mean(...)`` numpy
+        # float64 scalars (02-.../train.py:244-251), which the weights-only
+        # unpickler rejects. Allowlist numpy's scalar-reconstruction
+        # globals — still data-only, no code execution.
+        from torch.serialization import safe_globals
+
+        try:
+            with safe_globals(_numpy_pickle_globals()):
+                sd = torch.load(path, map_location="cpu", weights_only=True)
+        except pickle.UnpicklingError as e:
+            raise ValueError(
+                f"{path} contains pickled objects beyond tensors and numpy "
+                "scalars, which the safe weights-only loader rejects. If "
+                "you trust this file completely, pass weights_only=False "
+                "(unpickling arbitrary files executes arbitrary code)."
+            ) from e
     return convert_state_dict(sd, template, strict=strict, rename=rename)
+
+
+def _numpy_pickle_globals() -> list:
+    """The globals numpy scalars pickle through (``multiarray.scalar``,
+    ``np.dtype``, and the concrete DType classes) — data-only constructors
+    safe to allowlist for ``torch.load(weights_only=True)``."""
+    cands: list = [np.dtype]
+    for mod_name in ("_core", "core"):  # numpy 2 / numpy 1 spellings
+        mod = getattr(np, mod_name, None)
+        scalar = getattr(getattr(mod, "multiarray", None), "scalar", None)
+        if scalar is not None:
+            cands.append(scalar)
+            break
+    try:
+        import numpy.dtypes as _ndt
+
+        cands += [v for n, v in vars(_ndt).items() if n.endswith("DType")]
+    except ImportError:  # numpy < 1.25
+        pass
+    return cands

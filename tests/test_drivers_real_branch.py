@@ -158,11 +158,13 @@ def test_car_eval_torch_checkpoint_import(tmp_path, capsys):
         checkpoint_dir=str(tmp_path / "no_ckpt"), which="best",
         torch_checkpoint=pt,
         n_hidden=32, n_layers=1, slice_num=16, visualize=False,
-        max_slice_figs=None, scatter=False, out_dir=str(tmp_path / "runs"),
+        max_slice_figs=None, scatter=True, out_dir=str(tmp_path / "runs"),
         export_artifact=str(tmp_path / "artifact"), smoke=True,
         save_preds=True,
     )
     m1 = car_eval.main(args)
+    if "rho_d" in m1:  # scatter shares the save_preds prediction pass
+        assert (tmp_path / "runs" / "cd_scatter.png").exists()
     # reference-style per-sample denormalized dumps (main_evaluation.py:297)
     res = tmp_path / "runs" / "results"
     pred = np.load(res / "0_pred.npy")

@@ -403,6 +403,44 @@ def test_unsupported_weight_ndim_raises():
         convert_state_dict(sd, template, strict=True)
 
 
+def test_load_checkpoint_with_numpy_scalar_metadata(tmp_path):
+    """The reference car train.py saves val_loss/train_loss as np.mean(...)
+    numpy float64 scalars (02-.../train.py:244-251); the safe weights-only
+    load must still accept such files."""
+    torch = pytest.importorskip("torch")
+    from haet_tpu.utils.torch_import import load_torch_checkpoint
+
+    template = {"params": {"dense": {"kernel": np.zeros((3, 4), np.float32),
+                                     "bias": np.zeros(4, np.float32)}}}
+    w, b = torch.randn(4, 3), torch.randn(4)
+    path = tmp_path / "ref_style.pt"
+    torch.save({"epoch": 7,
+                "model_state_dict": {"dense.weight": w, "dense.bias": b},
+                "val_loss": np.mean([1.0, 2.0]),      # numpy float64 scalar
+                "train_loss": np.float64(0.25)}, path)
+    out = load_torch_checkpoint(str(path), template)
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["dense"]["kernel"]), w.numpy().T)
+
+    # non-allowlisted pickled objects still refuse with a pointed message
+    import argparse
+
+    path2 = tmp_path / "evil.pt"
+    torch.save({"model_state_dict": {"dense.weight": w, "dense.bias": b},
+                "payload": argparse.Namespace(x=1)}, path2)
+    with pytest.raises(ValueError, match="weights_only=False"):
+        load_torch_checkpoint(str(path2), template)
+
+
+def test_cosine_annealing_t_max_validation():
+    from haet_tpu.train.trainer import make_schedule
+    from haet_tpu.utils.config import TrainConfig
+
+    with pytest.raises(ValueError, match="t_max"):
+        make_schedule(TrainConfig(lr=1e-3, schedule="cosine_annealing",
+                                  t_max=0), total_steps=10)
+
+
 def test_load_torch_checkpoint_weights_only_and_rename(tmp_path):
     """File-level load uses weights_only=True and forwards rename=."""
     torch = pytest.importorskip("torch")
