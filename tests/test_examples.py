@@ -1,0 +1,33 @@
+"""The examples/ scripts must keep running end-to-end (they are the
+onboarding surface; a stale example is worse than none)."""
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(__file__)
+EXAMPLES = os.path.abspath(os.path.join(HERE, "..", "examples"))
+
+
+def _run(name):
+    env = dict(os.environ, HAET_PLATFORM="cpu")
+    # the examples set their own XLA_FLAGS; drop conftest's to avoid dupes
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, name)],
+        capture_output=True, text=True, timeout=540, env=env,
+    )
+    assert r.returncode == 0, f"{name} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
+def test_train_and_serve_example():
+    out = _run("train_and_serve.py")
+    assert "AOT artifact output == live model output" in out
+    assert "restored best checkpoint" in out
+
+
+def test_multichip_example():
+    out = _run("multichip.py")
+    assert "mesh:" in out
+    assert "sharded training + jitted predict OK" in out
