@@ -170,3 +170,21 @@ def custom_loop_mesh(mesh):
         return jax.device_put(state, replicate(mesh))
 
     return mesh_ctx, place, put_state
+
+
+def weighted_eval(trainer, state, test, bs):
+    """Per-SAMPLE-weighted mean eval loss over the full test set.
+
+    The reference sums per-sample losses and divides by ntest
+    (``TestLoss(size_average=False)``, e.g. exp_pipe.py:229-236); a plain
+    mean over batch means would misweight the trailing partial batch that
+    ``batch_iter(drop_last=False)`` now yields.
+    """
+    from haet_tpu.data import batch_iter
+
+    tot, n = 0.0, 0
+    for b in batch_iter(test, bs, False)():
+        k = len(next(iter(b.values())))
+        tot += float(trainer.eval_step(state, b)["loss"]) * k
+        n += k
+    return tot / max(n, 1)

@@ -109,7 +109,8 @@ def main(args):
         out = out[..., 0] * y_std + y_mean
         return {"loss": rel_l2(out, batch["y"]) / out.shape[0]}
 
-    steps_per_epoch = max(1, len(train["y"]) // bs)
+    # reference steps_per_epoch = len(train_loader) with drop_last=False
+    steps_per_epoch = max(1, -(-len(train["y"]) // bs))
     trainer = Trainer(
         model=model,
         loss_fn=loss_fn,
@@ -137,8 +138,8 @@ def main(args):
         checkpointer=ckpt,
     )
     # final eval
-    evs = [trainer.eval_step(state, b) for b in batch_iter(test, bs, False)()]
-    rel = float(np.mean([float(e["loss"]) for e in evs]))
+    from _common import weighted_eval
+    rel = weighted_eval(trainer, state, test, bs)
     print(f"rel_err:{rel}")
 
     if args.showcase:

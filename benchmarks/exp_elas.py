@@ -51,7 +51,7 @@ def main(args):
         l2 = rel_l2(out, batch["y"]) / out.shape[0]
         return l2, {"rel_l2": l2}
 
-    steps = max(1, len(train["y"]) // bs)
+    steps = max(1, -(-len(train["y"]) // bs))  # ceil: partial batch kept
     trainer = Trainer(
         model=model, loss_fn=loss_fn, cfg=cfg.train,
         total_steps=steps * cfg.train.epochs,
@@ -67,8 +67,8 @@ def main(args):
         state, batch_iter(train, bs, True, 1), batch_iter(test, bs, False),
         logger=logger, checkpointer=ckpt,
     )
-    evs = [trainer.eval_step(state, b) for b in batch_iter(test, bs, False)()]
-    rel = float(np.mean([float(e["loss"]) for e in evs]))
+    from _common import weighted_eval
+    rel = weighted_eval(trainer, state, test, bs)
     print(f"rel_err:{rel}")
     return rel
 

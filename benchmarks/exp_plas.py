@@ -108,7 +108,7 @@ def main(args):
         ) / b
         return loss, new_bs
 
-    steps = max(1, len(train["y"]) // bs)
+    steps = max(1, -(-len(train["y"]) // bs))  # ceil: partial batch kept
     tx = make_optimizer(cfg.train, steps * cfg.train.epochs)
     sample = {k: v[:bs] for k, v in train.items()}
     import contextlib
@@ -174,8 +174,14 @@ def main(args):
         ckpt.save_last(state, ep)
     ckpt.wait()
     with mesh_ctx():
-        rel = float(np.mean([float(eval_step(state, place(b)))
-                             for b in batch_iter(test, bs, False)()]))
+        # per-SAMPLE weighting: the trailing partial batch must not be
+        # over-weighted (reference divides summed losses by ntest)
+        tot, n = 0.0, 0
+        for b in batch_iter(test, bs, False)():
+            k = len(next(iter(b.values())))
+            tot += float(eval_step(state, place(b))) * k
+            n += k
+        rel = tot / max(n, 1)
     print(f"rel_err:{rel}")
     return rel
 

@@ -43,8 +43,17 @@ def _loadmat(path: str):
         return scio.loadmat(path)
     except NotImplementedError:  # v7.3 files
         import h5py
-        f = h5py.File(path, "r")
-        return {k: np.array(f[k]).T for k in f.keys()}
+        with h5py.File(path, "r") as f:
+            return {k: np.array(f[k]).T for k in f.keys()}
+
+
+def _warn_overlap(task: str, n: int, ntrain: int, ntest: int) -> None:
+    """The reference slices train=[:ntrain] / test from the tail with no
+    size check; on a file smaller than ntrain+ntest the sets silently
+    overlap (up to train==test). Same slicing here — but say so."""
+    if n < ntrain + ntest:
+        print(f"[{task}] WARNING: {n} samples < ntrain+ntest "
+              f"({ntrain}+{ntest}) — train/test sets overlap")
 
 
 def load_darcy(data_path: str, ntrain: int = 1000, ntest: int = 200,
@@ -105,6 +114,7 @@ def load_ns(data_path: str, ntrain: int = 1000, ntest: int = 200,
         s = u.shape[1]  # 64 for the real FNO file; smaller in fixtures
         ntrain = min(ntrain, u.shape[0])
         ntest = min(ntest, u.shape[0])
+        _warn_overlap("ns", u.shape[0], ntrain, ntest)
         train = u[:ntrain]
         test = u[-ntest:]
         g = np.linspace(0, 1, s, dtype=np.float32)
@@ -134,12 +144,21 @@ def load_structured_mesh(data_path: str, prefix: str, ntrain: int,
                          ntest: int, h: int, w: int,
                          downsample=(1, 1), crop=None):
     """Airfoil (`NACA_Cylinder_*`) / Pipe (`Pipe_*`) loaders: mesh coords
-    X,Y + field Q (reference exp_airfoil.py:80-96, exp_pipe.py:80-95).
+    X,Y + field Q (reference exp_airfoil.py:83-101, exp_pipe.py:83-100).
 
     ``crop`` trims the downsampled grids to ``(s1, s2)`` exactly like the
     reference's ``[:, ::r1, ::r2][:, :s1, :s2]`` — the downsample of a raw
     grid can leave an extra row/column that the reference cuts off.
     Defaults to ``(h, w)``, the driver's target grid.
+
+    Reference-exact per-task details:
+
+    * Q channel — pipe selects ``Q[:, 0]`` (exp_pipe.py:90), airfoil
+      ``Q[:, 4]`` (exp_airfoil.py:90); a 3-D Q is a pre-selected field.
+    * sample slicing — pipe caps the file at N=1200 FIRST and takes the
+      test set from the tail of that window (``input[:N][-ntest:]``,
+      exp_pipe.py:92-95); airfoil takes ``[ntrain:ntrain+ntest]``
+      (exp_airfoil.py:96-97).
     """
     task = "pipe" if prefix.lower().startswith("pipe") else "airfoil"
     fx = _find(data_path, task, f"{prefix}_X.npy")
@@ -149,24 +168,33 @@ def load_structured_mesh(data_path: str, prefix: str, ntrain: int,
         X = np.load(fx).astype(np.float32)
         Y = np.load(fy).astype(np.float32)
         Q = np.load(fq).astype(np.float32)
+        if Q.ndim == 4:  # [N, C, H, W]: the task's reference channel
+            q_channel = 0 if task == "pipe" else 4
+            y = Q[:, q_channel]
+        else:  # already a single field [N, H, W]
+            y = Q
+        if task == "pipe":
+            # reference exp_pipe.py:92: input[:N] with N=1200 before any
+            # train/test slicing
+            X, Y, y = X[:1200], Y[:1200], y[:1200]
         r1, r2 = downsample
         s1, s2 = crop if crop is not None else (h, w)
         X = X[:, ::r1, ::r2][:, :s1, :s2]
         Y = Y[:, ::r1, ::r2][:, :s1, :s2]
-        Q = (Q[..., ::r1, ::r2][..., :s1, :s2] if Q.ndim == 4
-             else Q[:, ::r1, ::r2][:, :s1, :s2])
+        y = y[:, ::r1, ::r2][:, :s1, :s2]
         pos = np.stack([X, Y], axis=-1)
-        if Q.ndim == 4:  # [N, C, H, W] -> pressure channel layout per task
-            y = Q[:, -1]
-        else:
-            y = Q
         n, hh, ww = y.shape
+        _warn_overlap(task, n, ntrain, ntest)
         pos = pos.reshape(n, hh * ww, 2)
         y = y.reshape(n, hh * ww)
+        if task == "pipe":
+            test_sl = slice(n - ntest, n)       # [:1200][-ntest:]
+        else:
+            test_sl = slice(ntrain, ntrain + ntest)  # airfoil
         return {
             "h": hh, "w": ww,
             "train": {"pos": pos[:ntrain], "y": y[:ntrain]},
-            "test": {"pos": pos[-ntest:], "y": y[-ntest:]},
+            "test": {"pos": pos[test_sl], "y": y[test_sl]},
             "synthetic": False,
         }
     pos_tr, y_tr = synthetic.airfoil_like(8, h, w, seed=0)
@@ -188,6 +216,7 @@ def load_elasticity(data_path: str, ntrain: int = 1000, ntest: int = 200):
         sigma = np.load(fs).astype(np.float32)    # [npts, N]
         xy = np.transpose(xy, (2, 0, 1))
         sigma = np.transpose(sigma, (1, 0))
+        _warn_overlap("elasticity", len(xy), ntrain, ntest)
         return {
             "train": {"pos": xy[:ntrain], "y": sigma[:ntrain]},
             "test": {"pos": xy[-ntest:], "y": sigma[-ntest:]},
@@ -208,17 +237,24 @@ def load_plasticity(data_path: str, ntrain: int = 900, ntest: int = 80):
     h, w, t = 101, 31, 20
     if os.path.exists(f):
         d = _loadmat(f)
-        inp = d["input"].astype(np.float32)       # [N, h, w]
+        inp = d["input"].astype(np.float32)       # [N, h] (real file: 2-D)
         out = d["output"].astype(np.float32)      # [N, h, w, t, 4]
         n = inp.shape[0]
         h, w, t = out.shape[1], out.shape[2], out.shape[3]
         ntrain = min(ntrain, n)
         ntest = min(ntest, n)
+        _warn_overlap("plasticity", n, ntrain, ntest)
         g1 = np.linspace(0, 1, h, dtype=np.float32)
         g2 = np.linspace(0, 1, w, dtype=np.float32)
         gx, gy = np.meshgrid(g1, g2, indexing="ij")
         pos = np.stack([gx.ravel(), gy.ravel()], -1)[None].repeat(n, 0)
-        fx = inp.reshape(n, h * w, 1)
+        if inp.ndim == 2:
+            # the real plas_N987_T20.mat input is a 2-D [N, s1] boundary
+            # profile; the reference broadcasts it across s2
+            # (exp_plas.py:127: reshape(n, s1, 1).repeat(1, 1, s2))
+            fx = np.repeat(inp[:, :h, None], w, axis=2).reshape(n, h * w, 1)
+        else:  # already gridded [N, h, w]
+            fx = inp.reshape(n, h * w, 1)
         y = out.reshape(n, h * w, t, 4)
         return {
             "h": h, "w": w, "t": t,

@@ -161,6 +161,11 @@ class CoefNorm:
 def compute_coef_norm(samples: list[CarSample]) -> CoefNorm:
     """Streaming mean/std with the reference's exact recurrences
     (dataset.py:243-288, including its use of x-length for the y update)."""
+    if not samples:
+        raise ValueError(
+            "compute_coef_norm: no samples (empty dataset, or every "
+            "preprocessed cache dir was missing) — a zero-std CoefNorm "
+            "would silently scale all data by 1e8")
     mean_in = mean_out = 0.0
     old_length = 0
     for k, s in enumerate(samples):
@@ -264,11 +269,19 @@ def load_train_val_fold(data_dir: str, fold_id: int = 0,
 
 def pad_sample(s: CarSample, n_pad: int):
     """Pad point count to ``n_pad`` (repeat-last) with a validity mask —
-    keeps jit shapes bucketed across ragged car meshes."""
+    keeps jit shapes bucketed across ragged car meshes.
+
+    ``n_pad`` must be >= the sample size: truncation would drop the TAIL
+    of the arrays, which is exactly the surface points (``pos`` is
+    ``concat([exterior, surface])``) — i.e. silently delete the
+    pressure-carrying mesh while reporting an all-valid mask."""
     n = len(s.pos)
-    if n >= n_pad:
-        return (s.pos[:n_pad], s.x[:n_pad], s.y[:n_pad], s.surf[:n_pad],
-                np.ones(n_pad, bool))
+    if n > n_pad:
+        raise ValueError(
+            f"pad_sample: sample has {n} points > n_pad={n_pad}; "
+            "truncating would drop the surface points (round n_pad up)")
+    if n == n_pad:
+        return s.pos, s.x, s.y, s.surf, np.ones(n_pad, bool)
     reps = np.full(n_pad - n, n - 1)
     idx = np.concatenate([np.arange(n), reps])
     mask = np.concatenate([np.ones(n, bool), np.zeros(n_pad - n, bool)])

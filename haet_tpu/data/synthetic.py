@@ -168,15 +168,8 @@ def car_like(n: int = 4, npts: int = 4096, seed: int = 0):
         r = np.linalg.norm(ext / np.asarray(scale, np.float32), axis=-1)
         ext = ext[r > 0.55]
 
-        from .car_metrics import quad_cell_normals
-        cn = quad_cell_normals(surf_pts, quads)
-        normal = np.zeros_like(surf_pts)
-        cnt = np.zeros((n_surf, 1))
-        for k in range(4):
-            np.add.at(normal, quads[:, k], cn)
-            np.add.at(cnt, quads[:, k], 1.0)
-        normal /= np.maximum(cnt, 1.0)
-        normal /= np.linalg.norm(normal, axis=-1, keepdims=True) + 1e-8
+        from .shapenet_car import point_normals
+        normal = point_normals(surf_pts, quads)
 
         sdf_ext = (np.linalg.norm(
             ext / np.asarray(scale, np.float32), axis=-1, keepdims=True
@@ -213,14 +206,22 @@ def car_like(n: int = 4, npts: int = 4096, seed: int = 0):
     return samples
 
 
-def batch_iter(arrays, batch_size: int, shuffle: bool = True, seed: int = 0):
-    """Yield dict batches from a dict of equal-leading-dim arrays."""
+def batch_iter(arrays, batch_size: int, shuffle: bool = True, seed: int = 0,
+               drop_last: bool = False):
+    """Yield dict batches from a dict of equal-leading-dim arrays.
+
+    ``drop_last=False`` (default) keeps the trailing partial batch like the
+    reference's ``DataLoader`` default — dropping it would silently exclude
+    test samples from metrics whenever ``n % batch_size != 0``. The partial
+    batch has a different leading dim, costing one extra jit trace.
+    """
     n = len(next(iter(arrays.values())))
     rng = np.random.RandomState(seed)
+    stop = n - batch_size + 1 if drop_last else n
 
     def gen():
         idx = rng.permutation(n) if shuffle else np.arange(n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        for i in range(0, stop, batch_size):
             sel = idx[i:i + batch_size]
             yield {k: v[sel] for k, v in arrays.items()}
 

@@ -124,8 +124,11 @@ def read_vtk_legacy(path: str, use_native: str | bool = "auto") -> VTKData:
         if raw[head_end:head_end + 1] == b"\n":
             lines_found += 1
         head_end += 1
-    fmt_line = raw[:head_end].decode("ascii", "replace").strip().split("\n")
-    is_binary = any("BINARY" in ln.upper() for ln in fmt_line)
+    head_lines = raw[:head_end].decode("ascii", "replace").split("\n")
+    # Only line 3 is the format line (VTK legacy spec); line 2 is a
+    # free-text title that may legitimately contain the word "binary".
+    is_binary = (len(head_lines) >= 3
+                 and head_lines[2].strip().upper() == "BINARY")
 
     out = VTKData()
 

@@ -13,12 +13,13 @@ Formats reproduced (reference file:line for each layout):
   512-byte MATLAB userblock, arrays stored transposed / column-major), key
   ``u`` [N, S, S, T] (``exp_ns.py``; the v7.3 branch of
   ``haet_tpu.data.pde_datasets._loadmat``).
-* Airfoil ``NACA_Cylinder_{X,Y,Q}.npy`` (Q 4-dim) and Pipe
-  ``Pipe_{X,Y,Q}.npy`` (Q 3-dim) (``exp_airfoil.py:80-96``,
-  ``exp_pipe.py:80-95``).
+* Airfoil ``NACA_Cylinder_{X,Y,Q}.npy`` (Q 4-dim, 5 channels) and Pipe
+  ``Pipe_{X,Y,Q}.npy`` (Q 4-dim) (``exp_airfoil.py:83-101``,
+  ``exp_pipe.py:83-100``).
 * Elasticity ``Random_UnitCell_{XY,sigma}_10.npy`` (``exp_elas.py:73-85``).
-* Plasticity ``plas_N987_T20.mat`` v5 with ``input`` [N,H,W] /
-  ``output`` [N,H,W,T,4] (``exp_plas.py``).
+* Plasticity ``plas_N987_T20.mat`` v5 with ``input`` [N,H] (2-D profile,
+  broadcast across W by the loader) / ``output`` [N,H,W,T,4]
+  (``exp_plas.py:124-135``).
 * ShapeNet-Car ``param0/<id>/{quadpress_smpl.vtk,hexvelo_smpl.vtk}`` —
   legacy VTK UNSTRUCTURED_GRID; the press file ASCII with quad CELLS +
   SCALARS point data, the velo file BINARY big-endian with VECTORS point
@@ -62,7 +63,9 @@ def airfoil_arrays():
     rng = np.random.RandomState(30)
     X = rng.rand(4, 17, 9)
     Y = rng.rand(4, 17, 9)
-    Q = rng.randn(4, 4, 17, 9)  # channel layout as the NACA files
+    # 5 channels like the real NACA files — the reference trains on
+    # channel 4 (exp_airfoil.py:90), so a wrong-channel pick is detectable
+    Q = rng.randn(4, 5, 17, 9)
     return X, Y, Q
 
 
@@ -70,7 +73,9 @@ def pipe_arrays():
     rng = np.random.RandomState(40)
     X = rng.rand(4, 13, 13)
     Y = rng.rand(4, 13, 13)
-    Q = rng.randn(4, 13, 13)
+    # 4-D [N, C, H, W] like the real Pipe_Q.npy — the reference trains on
+    # channel 0 (exp_pipe.py:90); C=3 makes a wrong-channel pick detectable
+    Q = rng.randn(4, 3, 13, 13)
     return X, Y, Q
 
 
@@ -83,7 +88,9 @@ def elasticity_arrays():
 
 def plasticity_arrays():
     rng = np.random.RandomState(60)
-    inp = rng.rand(3, 11, 7)
+    # input is a 2-D [N, s1] boundary profile in the real plas_N987_T20.mat
+    # — the reference broadcasts it across s2 (exp_plas.py:127-128)
+    inp = rng.rand(3, 11)
     out = rng.randn(3, 11, 7, 5, 4) * 0.1
     return inp, out
 

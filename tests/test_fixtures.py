@@ -70,9 +70,13 @@ def test_airfoil_npy_fixture():
     X, Y, Q = mf.airfoil_arrays()
     np.testing.assert_allclose(
         d["train"]["pos"][0, :, 0], X[0].reshape(-1), rtol=1e-6)
-    # 4-dim Q: last channel is the field
+    # airfoil trains on CHANNEL 4 of the 5-channel Q (exp_airfoil.py:90)
     np.testing.assert_allclose(
-        d["train"]["y"][1], Q[1, -1].reshape(-1), rtol=1e-6)
+        d["train"]["y"][1], Q[1, 4].reshape(-1), rtol=1e-6)
+    # airfoil test split is [ntrain:ntrain+ntest] (exp_airfoil.py:96-97),
+    # NOT the tail of the file
+    np.testing.assert_allclose(
+        d["test"]["y"][0], Q[3, 4].reshape(-1), rtol=1e-6)
 
 
 def test_pipe_npy_fixture():
@@ -80,8 +84,9 @@ def test_pipe_npy_fixture():
         os.path.join(DATA, "pipe"), "Pipe", ntrain=3, ntest=1, h=13, w=13)
     assert not d["synthetic"]
     X, Y, Q = mf.pipe_arrays()
+    # pipe trains on CHANNEL 0 of the 4-D Q (reference exp_pipe.py:90)
     np.testing.assert_allclose(
-        d["test"]["y"][-1], Q[-1].reshape(-1), rtol=1e-6)
+        d["test"]["y"][-1], Q[-1, 0].reshape(-1), rtol=1e-6)
 
 
 def test_elasticity_npy_fixture():
@@ -100,8 +105,12 @@ def test_plasticity_mat_fixture():
     inp, out = mf.plasticity_arrays()
     h, w, t = out.shape[1], out.shape[2], out.shape[3]
     assert (d["h"], d["w"], d["t"]) == (h, w, t)
+    # the real file's input is a 2-D [N, h] profile broadcast across w
+    # (reference exp_plas.py:127-128)
+    assert inp.ndim == 2
     np.testing.assert_allclose(
-        d["train"]["fx"][0], inp[0].reshape(h * w, 1), rtol=1e-6)
+        d["train"]["fx"][0],
+        np.repeat(inp[0][:, None], w, axis=1).reshape(h * w, 1), rtol=1e-6)
     np.testing.assert_allclose(
         d["train"]["y"][1], out[1].reshape(h * w, t, 4), rtol=1e-6)
 
@@ -261,6 +270,6 @@ def test_structured_mesh_crop_matches_reference_slicing():
     assert (d["h"], d["w"]) == (11, 7)
     X, Y, Q = mf.pipe_arrays()
     np.testing.assert_allclose(
-        d["train"]["y"][0], Q[0, :11, :7].reshape(-1), rtol=1e-6)
+        d["train"]["y"][0], Q[0, 0, :11, :7].reshape(-1), rtol=1e-6)
     np.testing.assert_allclose(
         d["train"]["pos"][0, :, 0], X[0, :11, :7].reshape(-1), rtol=1e-6)

@@ -189,3 +189,63 @@ def test_mem_sweep_timeout_is_retried(monkeypatch):
     rec = mod.probe_subprocess(1000, False, infra_retries=2)
     assert rec["failure"] == "timeout" and not rec.get("oom", False)
     assert calls["n"] == 3  # first try + 2 retries
+
+
+def test_batch_iter_keeps_partial_batch():
+    """drop_last=False (default) yields the trailing partial batch like the
+    reference DataLoader — dropping it silently excluded test samples."""
+    from haet_tpu.data import batch_iter
+
+    data = {"x": np.arange(5)}
+    sizes = [len(b["x"]) for b in batch_iter(data, 2, False)()]
+    assert sizes == [2, 2, 1]
+    sizes = [len(b["x"]) for b in batch_iter(data, 2, False,
+                                             drop_last=True)()]
+    assert sizes == [2, 2]
+    # shuffled: all samples covered exactly once
+    seen = np.concatenate([b["x"] for b in batch_iter(data, 2, True, 3)()])
+    assert sorted(seen.tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_pad_sample_refuses_truncation():
+    """n_pad < sample size would drop the SURFACE points (they are the
+    array tail) under an all-valid mask — must raise instead."""
+    import pytest
+
+    from haet_tpu.data.shapenet_car import CarSample, pad_sample
+
+    s = CarSample(pos=np.zeros((10, 3), np.float32),
+                  x=np.zeros((10, 7), np.float32),
+                  y=np.zeros((10, 4), np.float32),
+                  surf=np.zeros(10, bool), quads=None, surf_slice=None)
+    with pytest.raises(ValueError, match="surface"):
+        pad_sample(s, 8)
+    pos, x, y, surf, mask = pad_sample(s, 10)  # exact size: no-op
+    assert pos.shape == (10, 3) and mask.all()
+
+
+def test_compute_coef_norm_empty_raises():
+    import pytest
+
+    from haet_tpu.data.shapenet_car import compute_coef_norm
+
+    with pytest.raises(ValueError, match="no samples"):
+        compute_coef_norm([])
+
+
+def test_vtk_ascii_title_containing_binary(tmp_path):
+    """The VTK title line is free text; the word 'binary' there must not
+    flip the parser into binary mode (only line 3 is the format line)."""
+    from haet_tpu.data.vtk_io import read_vtk_legacy
+
+    vtk = (b"# vtk DataFile Version 3.0\n"
+           b"converted from binary dump\n"
+           b"ASCII\n"
+           b"DATASET UNSTRUCTURED_GRID\n"
+           b"POINTS 3 float\n"
+           b"0 0 0\n1 0 0\n0 1 0\n")
+    p = tmp_path / "t.vtk"
+    p.write_bytes(vtk)
+    g = read_vtk_legacy(str(p), use_native=False)
+    np.testing.assert_allclose(
+        g.points, [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
