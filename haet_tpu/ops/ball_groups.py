@@ -176,7 +176,10 @@ def pad_pow2(x, pos, *, axis: int = 1):
     n = x.shape[axis]
     n_pad = 1 << max(0, math.ceil(math.log2(max(n, 1))))
     mask = jnp.arange(n_pad) < n
-    mask = jnp.broadcast_to(mask[None], (x.shape[0], n_pad))
+    if axis == 1:  # batched [B, N, ...]: mask is [B, N_pad]
+        mask = jnp.broadcast_to(mask[None], (x.shape[0], n_pad))
+    elif axis != 0:  # axis=0 (unbatched): mask stays [N_pad]
+        raise ValueError(f"pad_pow2 supports axis 0 or 1, got {axis}")
     if n_pad == n:
         return x, pos, mask
     idx = jnp.concatenate(
@@ -262,6 +265,11 @@ def build_erwin_perms(
 
     if mask is None:
         unperm = invert_perm(perm)
+        if n_original is not None:
+            # without a mask the permutation is a pure bijection; honoring
+            # n_original still means "return only the first n_original
+            # original points' slots"
+            unperm = unperm[:, :n_original]
     else:
         # Only mask-True slots map back; sort invalid slots to the end.
         mask_t = jnp.take_along_axis(mask, perm, axis=1)

@@ -92,8 +92,15 @@ def knn_edges_grouped(pos, k: int, *, mask=None, include_self: bool = True,
         pmask = pmask & jnp.pad(mask, ((0, 0), (0, pmask.shape[1] - n)))
     pos_p = jax.lax.stop_gradient(pos_p)
     Np = pos_p.shape[1]
+    # Np is a power of two (pad_pow2); the balls must tile it exactly, so
+    # round a non-power-of-two ball up to the next power of two. The
+    # candidate set is two groupings x a +-1-ball window = 6*ball, and
+    # lax.top_k cannot return more than that — grow the ball until it
+    # can serve the requested k.
+    ball = 1 << max(0, (max(ball, -(-k // 6)) - 1)).bit_length()
     ball = min(ball, Np)
     nb = Np // ball
+    k = min(k, 6 * ball)  # only binding when ball hit the Np cap
     levels = max(0, int(_math.log2(Np)) - int(_math.log2(ball)))
 
     def gather_cands(perm):

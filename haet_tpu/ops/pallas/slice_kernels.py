@@ -173,6 +173,12 @@ def slice_states(x_proj, w_slice, b_slice, w_ada, b_ada,
 
     Returns:
         ``(states [B,H,G,C], m [B,H,G], s [B,H,G])``.
+
+    Gradient contract: only the ``states`` output is differentiable. The
+    ``m``/``s`` softmax residuals exist to feed :func:`deslice`'s backward;
+    the custom VJP DISCARDS any cotangent arriving on them (a loss that
+    directly consumes m or s gets a silent zero gradient for that term) —
+    same for the w_out/tau_out auxiliaries of ``deslice``.
     """
     return _slice_states_impl(x_proj, w_slice, b_slice, w_ada, b_ada,
                               base_temp, epsilon, tile_n)
@@ -242,13 +248,6 @@ def _slice_states_impl_f32(x_proj, w_slice, b_slice, w_ada, b_ada,
     s = s[:, 0]
     return (states.reshape(b, h, g, c), m.reshape(b, h, g),
             s.reshape(b, h, g))  # m/s emitted as [bh,1,g]
-
-
-def _xla_weights(x_proj, w_slice, b_slice, w_ada, b_ada, base_temp, epsilon):
-    temp_raw = x_proj @ w_ada + b_ada
-    tau = slice_ops.ada_temp(temp_raw, base_temp)
-    logits = x_proj @ w_slice + b_slice
-    return slice_ops.rep_slice_weights(logits, tau, epsilon)
 
 
 # ---------------------------------------------------------------------------

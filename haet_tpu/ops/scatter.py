@@ -19,12 +19,19 @@ def segment_sum(data, segment_ids, num_segments: int):
 
 def segment_mean(data, segment_ids, num_segments: int):
     """Mean-aggregate (the reference's ``scatter_mean``); empty segments
-    give 0 (matching torch_scatter)."""
-    s = jax.ops.segment_sum(data, segment_ids, num_segments)
+    give 0 (matching torch_scatter).
+
+    Sums and counts accumulate in f32 regardless of ``data.dtype`` (result
+    is cast back) — accumulating in bf16 saturates: summing ones sticks at
+    256 (256 + 1 rounds back to 256), inflating the mean of any segment
+    larger than ~256 elements."""
+    s = jax.ops.segment_sum(
+        data.astype(jnp.float32), segment_ids, num_segments)
     cnt = jax.ops.segment_sum(
-        jnp.ones(data.shape[:1], data.dtype), segment_ids, num_segments
+        jnp.ones(data.shape[:1], jnp.float32), segment_ids, num_segments
     )
-    return s / jnp.maximum(cnt, 1.0)[(...,) + (None,) * (data.ndim - 1)]
+    mean = s / jnp.maximum(cnt, 1.0)[(...,) + (None,) * (data.ndim - 1)]
+    return mean.astype(data.dtype)
 
 
 def segment_max(data, segment_ids, num_segments: int):

@@ -147,3 +147,38 @@ def test_grouped_knn_boundary_ball_keeps_edges_to_point_zero():
     idx_g, val_g = knn_edges_grouped(jnp.asarray(pos), k, ball=ball)
     got = set(np.asarray(idx_g[0, 1])[np.asarray(val_g[0, 1])])
     assert 0 in got
+
+
+def test_segment_mean_bf16_large_segment():
+    """bf16 accumulation saturates at 256 when summing ones — counts and
+    sums must accumulate in f32 (segment of 1000 ones: mean is exactly 1)."""
+    from haet_tpu.ops.scatter import segment_mean
+
+    data = jnp.ones(1000, jnp.bfloat16)
+    seg = jnp.zeros(1000, jnp.int32)
+    out = segment_mean(data, seg, 1)
+    assert out.dtype == jnp.bfloat16
+    assert float(out[0]) == 1.0
+    # and a non-trivial mean stays accurate at bf16 resolution
+    data2 = jnp.asarray(np.linspace(0.0, 2.0, 1000), jnp.bfloat16)
+    out2 = segment_mean(data2, seg, 1)
+    assert abs(float(out2[0]) - 1.0) < 0.01
+
+
+def test_knn_edges_grouped_non_pow2_ball_and_large_k():
+    """Non-power-of-two ball sizes must not crash the grouped path (the
+    pow2-padded cloud must tile exactly), and k larger than the candidate
+    window grows the ball instead of breaking lax.top_k."""
+    from haet_tpu.ops.neighbors import knn_edges_grouped
+
+    rng = np.random.RandomState(0)
+    pos = jnp.asarray(rng.rand(1, 700, 3), jnp.float32)
+    idx, valid = knn_edges_grouped(pos, k=8, ball=100)  # 100 -> 128
+    assert idx.shape == (1, 700, 8)
+    assert bool(valid.any())
+    # k > 6*ball for the requested ball: ball auto-grows to serve k
+    idx2, valid2 = knn_edges_grouped(pos, k=80, ball=8)
+    assert idx2.shape == (1, 700, 80)
+    # self always among neighbors when include_self=True
+    self_hit = (np.asarray(idx2) == np.arange(700)[None, :, None])
+    assert bool((self_hit.any(-1)).all())
