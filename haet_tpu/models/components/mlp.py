@@ -40,9 +40,16 @@ def get_activation(act: str) -> Callable:
     return ACTIVATION[act]
 
 
-def trunc_normal_init(std: float = 0.02):
-    """timm-style truncated normal init (reference HAETransolver_*:_init_weights)."""
-    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+def trunc_normal_init(std: float = 0.02, a: float = -2.0, b: float = 2.0):
+    """timm-style truncated normal init (reference HAETransolver_*:_init_weights).
+
+    timm's ``trunc_normal_(t, std=0.02)`` truncates at the ABSOLUTE bounds
+    a=-2, b=2 — at std=0.02 that is ±100σ, i.e. effectively an untruncated
+    normal. jax's ``truncated_normal`` bounds are in σ units, so the bounds
+    must be divided by std (passing ±2 directly would clip at ±2σ and
+    shrink the realized std ~12% below the reference's)."""
+    return nn.initializers.truncated_normal(
+        stddev=std, lower=a / std, upper=b / std)
 
 
 class MLP(nn.Module):

@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.ball_groups import ErwinPerms, build_erwin_perms
+from ..ops.ball_groups import (ErwinPerms, build_erwin_perms,
+                               effective_ball_size)
 from ..ops.neighbors import knn_edges
 from .components.mlp import SwiGLU, trunc_normal_init
 
@@ -78,7 +79,7 @@ class BallMSA(nn.Module):
         # The reference requires divisibility implicitly
         # (``attention.py:67-76`` reshapes by contiguity) and its configs
         # only ever use power-of-two ball sizes.
-        bs = 1 << (min(self.ball_size, N).bit_length() - 1)
+        bs = effective_ball_size(self.ball_size, N)
         nb = N // bs
         h, hd = self.num_heads, self.dim // self.num_heads
 
@@ -285,7 +286,7 @@ class BasicLayer(nn.Module):
             )(node, train=train)
 
         n_level = node.x.shape[1]
-        bs_eff = 1 << (min(self.ball_size, n_level).bit_length() - 1)
+        bs_eff = effective_ball_size(self.ball_size, n_level)
         full_ball = bs_eff >= n_level
         rotate_flags = (
             [i % 2 == 1 for i in range(self.depth)]
@@ -557,6 +558,7 @@ class ErwinTransformer(nn.Module):
                     rotate=self.rotate > 0,
                     dimensionality=self.dimensionality,
                     use_dist_bias=self.use_dist_bias,
+                    use_pallas=self.use_pallas_blocks,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"decoder{j}",
                 )(node, train=train)

@@ -167,9 +167,6 @@ class _HAETBase(nn.Module):
     def _always_placeholder(self) -> bool:
         return False
 
-    def _pos_dim(self) -> int:
-        return self.ref * self.ref
-
     # --------------------------------------------------------------------
     def _erwin_kwargs(self):
         return {k: getattr(self, k) for k in _ERWIN_KEYS}
@@ -199,20 +196,34 @@ class _HAETBase(nn.Module):
         if self._always_placeholder() or fx_was_none:
             fx = fx + placeholder[None, None, :]
 
-        if T is not None:
-            emb = timestep_embedding(T, self.n_hidden)[:, None, :]
-            emb = nn.Dense(
+        # time_fc params exist iff Time_Input (reference creates them at
+        # CONSTRUCTION, ..._2D.py:257-263) and are applied iff T is passed
+        # (:405-408) — the param tree must follow config, not trace-time
+        # arguments, or init without T would build a tree that later
+        # apply(x, fx, T) cannot find (and reference checkpoints with
+        # time_fc weights could not import).
+        if self.Time_Input:
+            time_fc1 = nn.Dense(
                 self.n_hidden, kernel_init=trunc_normal_init(),
                 bias_init=nn.initializers.zeros, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="time_fc1",
-            )(emb)
-            emb = nn.silu(emb)
-            emb = nn.Dense(
+            )
+            time_fc2 = nn.Dense(
                 self.n_hidden, kernel_init=trunc_normal_init(),
                 bias_init=nn.initializers.zeros, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="time_fc2",
-            )(emb)
-            fx = fx + emb
+            )
+            if T is not None:
+                emb = timestep_embedding(T, self.n_hidden)[:, None, :]
+                fx = fx + time_fc2(nn.silu(time_fc1(emb)))
+            elif self.is_initializing():
+                # register the params without affecting the output
+                time_fc2(nn.silu(time_fc1(
+                    jnp.zeros((1, 1, self.n_hidden), self.dtype))))
+        elif T is not None:
+            raise ValueError(
+                "T was passed but Time_Input=False — the reference model "
+                "has no time_fc in this configuration (..._2D.py:257)")
 
         attn_cls, attn_kwargs = self._attn()
         if self.dim_head is not None:
@@ -276,9 +287,6 @@ class HAETransolverStructuredMesh3D(_HAETBase):
         kw = self._erwin_kwargs()
         kw.update(H=self.H, W=self.W, D=self.D, slice_num=self.slice_num)
         return PhysicsAttentionStructuredMesh3D, kw
-
-    def _pos_dim(self) -> int:
-        return self.ref ** 3
 
     def _pos_features(self, x):
         pos = _grid_distances_nd((self.H, self.W, self.D), self.ref)

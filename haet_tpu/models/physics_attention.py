@@ -49,6 +49,20 @@ def torch_conv_kernel_init():
     return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+def torch_conv_bias_init(fan_in: int):
+    """torch Conv default BIAS: U(-1/sqrt(fan_in), +1/sqrt(fan_in)) — the
+    reference's ``_init_weights`` zeroes only Linear biases, so conv biases
+    keep the torch default (nonzero). flax calls bias_init with the bias
+    shape only, so fan_in (= in_channels * prod(kernel)) is closed over at
+    the call site."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class _PhysicsAttentionBase(nn.Module):
     """Shared slice/transform/deslice core (``StructuredMesh2D.py:157-262``)."""
 
@@ -438,7 +452,8 @@ class PhysicsAttentionStructuredMesh2D(_PhysicsAttentionBase):
         xp = nn.Conv(
             inner, (self.kernel, self.kernel), padding="SAME",
             kernel_init=torch_conv_kernel_init(),
-            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            bias_init=torch_conv_bias_init(C * self.kernel ** 2),
+            dtype=self.dtype,
             param_dtype=self.param_dtype, name="in_project_x",
         )(xg)
         return slice_ops.split_heads(xp.reshape(B, N, inner), self.heads)
@@ -464,7 +479,8 @@ class PhysicsAttentionStructuredMesh3D(_PhysicsAttentionBase):
         xp = nn.Conv(
             inner, (self.kernel, self.kernel, self.kernel), padding="SAME",
             kernel_init=torch_conv_kernel_init(),
-            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            bias_init=torch_conv_bias_init(C * self.kernel ** 3),
+            dtype=self.dtype,
             param_dtype=self.param_dtype, name="in_project_x",
         )(xg)
         return slice_ops.split_heads(xp.reshape(B, N, inner), self.heads)

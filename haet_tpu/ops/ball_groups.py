@@ -221,6 +221,15 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def effective_ball_size(ball_size: int, n: int) -> int:
+    """The largest power of two <= min(ball_size, n): the ball size a level
+    actually attends over. ONE definition shared by BallMSA, BasicLayer's
+    rotation-skip, and build_erwin_perms — these three must agree exactly
+    (a desync makes BasicLayer demand rotation perms the builder decided
+    not to emit, or tile balls differently from the perms)."""
+    return 1 << (min(ball_size, n).bit_length() - 1)
+
+
 def invert_perm(perm):
     """Inverse of a batched permutation: ``inv[b, perm[b, i]] = i``."""
     return jnp.argsort(perm, axis=-1, stable=True).astype(jnp.int32)
@@ -299,7 +308,7 @@ def build_erwin_perms(
             # blk(x[rot])[rot_inv] == blk(x) exactly. Skip the partition
             # build and the per-block gathers; BasicLayer treats a None
             # rot_perm at full-ball levels as this no-op.
-            bs_eff = 1 << (min(ball_sizes[i], n_level).bit_length() - 1)
+            bs_eff = effective_ball_size(ball_sizes[i], n_level)
             if bs_eff >= n_level:
                 rot_perms.append(None)
                 rot_inv_perms.append(None)

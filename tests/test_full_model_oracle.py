@@ -449,7 +449,7 @@ def _grad_parity_case(monkeypatch, variant, train, with_time=False):
         n_layers=2, n_hidden=N_HIDDEN, n_head=N_HEAD, slice_num=G,
         mlp_ratio=1, ball_sizes=BALL_SIZES, enc_num_heads=(1, 2),
         enc_depths=(2, 2), dec_num_heads=(1,), dec_depths=(2,),
-        strides=STRIDES, rotate=45, out_dim=3,
+        strides=STRIDES, rotate=45, out_dim=3, Time_Input=with_time,
     )
     if variant == "conv2d":
         from haet_tpu.models import HAETransolverStructuredMesh2D as M

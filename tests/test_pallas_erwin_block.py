@@ -126,10 +126,14 @@ def test_flag_engages_through_model_api(monkeypatch):
     monkeypatch.setattr(eb, "fused_erwin_block", counting)
     m = HAETransolverIrregularMesh(
         space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
-        n_head=4, slice_num=16, use_pallas_erwin=True)
+        n_head=4, slice_num=16, use_pallas_erwin=True,
+        enc_num_heads=(1, 2), enc_depths=(1, 1), dec_num_heads=(1,),
+        dec_depths=(1,), ball_sizes=(16, 8), strides=(2,))
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 3))
     fx = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 1))
     v = jax.jit(m.init)(jax.random.PRNGKey(0), x, fx)
     calls["n"] = 0
     m.apply(v, x, fx)
-    assert calls["n"] > 0
+    # EVERY block must engage: encoder (1) + bottleneck (1) + DECODER (1)
+    # — the decoder once silently stayed on the XLA path
+    assert calls["n"] == 3

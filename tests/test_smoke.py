@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from haet_tpu.models import (
     HAETransolverIrregularMesh,
@@ -124,3 +125,32 @@ def test_gradients_flow():
     # most parameters should receive nonzero gradient
     nonzero = sum(bool(jnp.any(g != 0)) for g in leaves)
     assert nonzero > len(leaves) * 0.7
+
+
+def test_time_input_param_tree_follows_config():
+    """time_fc params exist iff Time_Input=True (reference creates them at
+    construction, ..._2D.py:257-263) — NOT based on whether init happened
+    to receive T. Init without T must still produce a tree that a later
+    apply(x, fx, T) can use, and T with Time_Input=False must raise."""
+    import pytest
+
+    from haet_tpu.models import HAETransolver_Structured_Mesh_2D
+
+    kw = dict(space_dim=2, fun_dim=1, out_dim=1, n_layers=1, n_hidden=32,
+              n_head=4, slice_num=16, H=8, W=8)
+    m = HAETransolver_Structured_Mesh_2D(Time_Input=True, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 2))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 1))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x, fx)  # NO T at init
+    assert "time_fc1" in v["params"] and "time_fc2" in v["params"]
+    T = jnp.ones((2,), jnp.float32)
+    out_t = m.apply(v, x, fx, T)          # works: params already exist
+    out_none = m.apply(v, x, fx)          # T optional at apply, like ref
+    assert np.isfinite(np.asarray(out_t)).all()
+    assert not np.allclose(np.asarray(out_t), np.asarray(out_none))
+
+    m0 = HAETransolver_Structured_Mesh_2D(Time_Input=False, **kw)
+    v0 = jax.jit(m0.init)(jax.random.PRNGKey(0), x, fx)
+    assert "time_fc1" not in v0["params"]
+    with pytest.raises(ValueError, match="Time_Input"):
+        m0.apply(v0, x, fx, T)
