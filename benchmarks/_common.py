@@ -93,6 +93,13 @@ def add_mesh_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1,
                    help="head tensor-parallel mesh size (requires "
                         "n_heads %% tp == 0)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stage count over the Transolver "
+                        "block stack (requires n_layers %% pp == 0; "
+                        "incompatible with --tp)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="microbatches per pipelined step (0 = one per "
+                        "stage; must divide the per-step batch)")
     p.add_argument("--multihost", action="store_true",
                    help="join the JAX process group first (TPU pods "
                         "autodetect; elsewhere set HAET_COORDINATOR / "
@@ -109,7 +116,9 @@ def make_mesh_from_args(cfg, args):
         from haet_tpu.parallel.distributed import init_distributed
 
         init_distributed()
-    if not getattr(args, "dp", 0) and getattr(args, "tp", 1) <= 1:
+    n_pp = max(1, getattr(args, "pp", 1))
+    if (not getattr(args, "dp", 0) and getattr(args, "tp", 1) <= 1
+            and n_pp <= 1):
         return None
     from haet_tpu.parallel import make_mesh
 
@@ -119,6 +128,31 @@ def make_mesh_from_args(cfg, args):
     # --tp without --dp = tensor-parallel only (dp=1); data parallelism is
     # opted into explicitly because it needs batch_size % dp == 0.
     n_dp = getattr(args, "dp", 0) or 1
+    if n_pp > 1:
+        # Pipeline mesh: (dp, pp). Head-TP's sharding constraints cannot
+        # nest inside the pipeline's shard_map body, so --tp is rejected.
+        if n_tp > 1:
+            raise SystemExit("--pp cannot combine with --tp (head-TP "
+                             "constraints cannot nest inside the pipeline)")
+        if cfg.model.n_layers % n_pp:
+            raise SystemExit(
+                f"--pp {n_pp} must divide n_layers ({cfg.model.n_layers})")
+        if n_dp * n_pp > len(jax.devices()):
+            raise SystemExit(
+                f"--dp {n_dp} x --pp {n_pp} needs {n_dp * n_pp} devices, "
+                f"have {len(jax.devices())}")
+        from haet_tpu.parallel import make_pp_mesh
+
+        mesh = make_pp_mesh(n_dp=n_dp, n_pp=n_pp,
+                            devices=jax.devices()[: n_dp * n_pp])
+        mb = getattr(args, "pp_microbatches", 0) or n_pp
+        if cfg.train.batch_size % (mb * n_dp):
+            raise SystemExit(
+                f"batch size {cfg.train.batch_size} must be divisible by "
+                f"pp_microbatches x dp ({mb} x {n_dp})")
+        print(f"[mesh] dp={n_dp} pp={n_pp} microbatches={mb} "
+              f"({n_dp * n_pp} devices)")
+        return mesh
     if n_dp * n_tp > len(jax.devices()):
         raise SystemExit(
             f"--dp {n_dp} x --tp {n_tp} needs {n_dp * n_tp} devices, "
@@ -140,6 +174,19 @@ def make_mesh_from_args(cfg, args):
     print(f"[mesh] dp={mesh.shape['dp']} tp={mesh.shape['tp']} "
           f"({len(mesh.devices.ravel())} devices)")
     return mesh
+
+
+def maybe_pipeline(model, mesh, args):
+    """Wrap the built model in :class:`haet_tpu.parallel.PipelinedModel`
+    when ``--pp > 1``. The returned object keeps the flax ``init``/``apply``
+    surface, so Trainer wiring is unchanged."""
+    n_pp = getattr(args, "pp", 1)
+    if not mesh or n_pp <= 1:
+        return model
+    from haet_tpu.parallel import PipelinedModel
+
+    mb = getattr(args, "pp_microbatches", 0) or None
+    return PipelinedModel(model, mesh, num_microbatches=mb, dp_axis="dp")
 
 
 def custom_loop_mesh(mesh):

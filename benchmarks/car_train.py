@@ -144,7 +144,7 @@ def main(args):
         cfg.model.dec_num_heads = cfg.model.dec_depths = None
         cfg.model.erwin_mlp_ratio = None
         cfg.model.embed = False
-    from _common import make_mesh_from_args
+    from _common import make_mesh_from_args, maybe_pipeline
     mesh = make_mesh_from_args(cfg, args)
 
     train_s, val_s, coef, is_synth = shapenet_car.load_train_val_fold(
@@ -155,7 +155,7 @@ def main(args):
         print("[car_train] dataset not found -> synthetic stand-in data")
     print(f"train {len(train_s)} / val {len(val_s)} samples")
 
-    model = cfg.model.build()
+    model = maybe_pipeline(cfg.model.build(), mesh, args)
     trainer = Trainer(
         model=model,
         loss_fn=loss_fn_builder(args.weight),

@@ -15,6 +15,7 @@ import os
 import numpy as np
 
 from _common import (apply_model_args, base_parser, make_mesh_from_args,
+                     maybe_pipeline,
                      shrink_for_smoke)
 
 import jax
@@ -80,7 +81,7 @@ def main(args):
     test = {"pos": pos_te, "fx": x_norm.encode(x_te)[..., None].astype(np.float32),
             "y": y_te.astype(np.float32)}
 
-    model = cfg.model.build()
+    model = maybe_pipeline(cfg.model.build(), mesh, args)
     rel_l2 = RelLpLoss(size_average=False)
     y_mean = np.float32(y_norm.mean.squeeze())
     y_std = np.float32(y_norm.std.squeeze())

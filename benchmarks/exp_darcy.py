@@ -62,7 +62,7 @@ def build(args):
 
 def main(args):
     cfg = build(args)
-    from _common import make_mesh_from_args
+    from _common import make_mesh_from_args, maybe_pipeline
     mesh = make_mesh_from_args(cfg, args)
     data = load_darcy(args.data_path, args.ntrain, args.ntest, args.downsample)
     s = data["s"]
@@ -85,7 +85,7 @@ def main(args):
         "y": data["test"]["y"].astype(np.float32),
     }
 
-    model = cfg.model.build()
+    model = maybe_pipeline(cfg.model.build(), mesh, args)
     rel_l2 = RelLpLoss(size_average=False)
     dx = 1.0 / s
     y_mean = jnp.asarray(y_norm.mean.squeeze())

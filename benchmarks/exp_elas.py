@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 from _common import (apply_model_args, base_parser, make_mesh_from_args,
+                     maybe_pipeline,
                      shrink_for_smoke)
 
 import jax
@@ -40,7 +41,7 @@ def main(args):
         "y_enc": y_norm.encode(data["test"]["y"]).astype(np.float32),
     }
 
-    model = cfg.model.build()
+    model = maybe_pipeline(cfg.model.build(), mesh, args)
     rel_l2 = RelLpLoss(size_average=False)
     y_mean = np.asarray(y_norm.mean, np.float32)
     y_std = np.asarray(y_norm.std + y_norm.eps, np.float32)

@@ -31,6 +31,8 @@ def main(args):
             "exp_ns: --accum_steps is not supported by this custom rollout "
             "loop (the per-step remat + lax.scan already bounds activation "
             "memory; use --use_checkpoint)")
+    if getattr(args, "pp", 1) > 1:
+        raise SystemExit("exp_ns: --pp is not supported by this custom rollout loop")
     mesh = make_mesh_from_args(cfg, args)
     data = load_ns(args.data_path, args.ntrain, args.ntest, T_IN, T_OUT)
     if data["synthetic"]:

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 from _common import (apply_model_args, base_parser, make_mesh_from_args,
+                     maybe_pipeline,
                      shrink_for_smoke)
 
 import jax
@@ -45,7 +46,7 @@ def run(args, prefix="Pipe", h=129, w=129, config_fn=pipe_config,
         "y": data["test"]["y"].astype(np.float32),
     }
 
-    model = cfg.model.build()
+    model = maybe_pipeline(cfg.model.build(), mesh, args)
     rel_l2 = RelLpLoss(size_average=False)
     y_mean = np.float32(y_norm.mean.squeeze())
     y_std = np.float32(y_norm.std.squeeze())

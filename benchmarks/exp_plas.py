@@ -36,6 +36,8 @@ def main(args):
         raise SystemExit(
             "exp_plas: --accum_steps is not supported by this custom "
             "time-query loop (use --use_checkpoint for memory)")
+    if getattr(args, "pp", 1) > 1:
+        raise SystemExit("exp_plas: --pp is not supported by this custom time-query loop")
     mesh = make_mesh_from_args(cfg, args)
     data = load_plasticity(args.data_path, args.ntrain, args.ntest)
     if data["synthetic"]:

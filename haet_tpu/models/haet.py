@@ -171,6 +171,31 @@ class _HAETBase(nn.Module):
     def _erwin_kwargs(self):
         return {k: getattr(self, k) for k in _ERWIN_KEYS}
 
+    def block_kwargs(self) -> dict:
+        """Constructor kwargs shared by every :class:`TransolverErwinBlock`
+        in the stack (``last_layer``/``name`` excepted). Also consumed by
+        :mod:`haet_tpu.parallel.pipeline` to build stage blocks that are
+        parameter-compatible with this model's ``blocks_i`` subtrees."""
+        attn_cls, attn_kwargs = self._attn()
+        if self.dim_head is not None:
+            attn_kwargs["dim_head"] = self.dim_head
+        if self.erwin_mlp_ratio is not None:
+            attn_kwargs["mlp_ratio"] = self.erwin_mlp_ratio
+        if self.shard_axes is not None:
+            attn_kwargs["shard_axes"] = tuple(self.shard_axes)
+        return dict(
+            num_heads=self.n_head,
+            hidden_dim=self.n_hidden,
+            dropout=self.dropout,
+            act=self.act,
+            mlp_ratio=self.mlp_ratio,
+            out_dim=self.out_dim,
+            attn_cls=attn_cls,
+            attn_kwargs=attn_kwargs,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+
     @nn.compact
     def __call__(self, x, fx=None, T=None, *, train: bool = False):
         if self.unified_pos:
@@ -225,32 +250,17 @@ class _HAETBase(nn.Module):
                 "T was passed but Time_Input=False — the reference model "
                 "has no time_fc in this configuration (..._2D.py:257)")
 
-        attn_cls, attn_kwargs = self._attn()
-        if self.dim_head is not None:
-            attn_kwargs["dim_head"] = self.dim_head
-        if self.erwin_mlp_ratio is not None:
-            attn_kwargs["mlp_ratio"] = self.erwin_mlp_ratio
-        if self.shard_axes is not None:
-            attn_kwargs["shard_axes"] = tuple(self.shard_axes)
         block_cls = TransolverErwinBlock
         if self.use_checkpoint:
             # Rematerialize each block's activations in the backward pass
             # (the reference's torch.utils.checkpoint path, ``..._3D.py``).
             block_cls = nn.remat(TransolverErwinBlock, static_argnums=(2,))
+        bkw = self.block_kwargs()
         for i in range(self.n_layers):
             block = block_cls(
-                num_heads=self.n_head,
-                hidden_dim=self.n_hidden,
-                dropout=self.dropout,
-                act=self.act,
-                mlp_ratio=self.mlp_ratio,
                 last_layer=(i == self.n_layers - 1),
-                out_dim=self.out_dim,
-                attn_cls=attn_cls,
-                attn_kwargs=attn_kwargs,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
                 name=f"blocks_{i}",
+                **bkw,
             )
             fx = block(fx, train)
         return fx

@@ -8,6 +8,12 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     head_sharding,
     make_mesh,
+    make_pp_mesh,
     replicate,
     shard_batch,
+)
+from .pipeline import (  # noqa: F401
+    PipelinedModel,
+    merge_variables,
+    split_variables,
 )

@@ -32,6 +32,19 @@ def make_mesh(n_dp: int | None = None, n_tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_pp_mesh(n_dp: int = 1, n_pp: int = 1, devices=None) -> Mesh:
+    """Create a ``(dp, pp)`` mesh for pipeline parallelism
+    (:class:`haet_tpu.parallel.pipeline.PipelinedModel`). Stages should map
+    to ICI neighbours: the pp axis is the fastest-varying one, so
+    consecutive stages land on consecutive devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_dp * n_pp != n:
+        raise ValueError(f"dp({n_dp}) * pp({n_pp}) != device count ({n})")
+    arr = np.asarray(devices).reshape(n_dp, n_pp)
+    return Mesh(arr, axis_names=("dp", "pp"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over dp, replicate the rest."""
     return NamedSharding(mesh, P("dp"))

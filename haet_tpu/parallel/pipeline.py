@@ -1,0 +1,370 @@
+"""GPipe-style pipeline parallelism over the Transolver block stack.
+
+The reference framework is single-process, single-GPU (SURVEY.md §2.7); this
+module adds the remaining classic parallel axis — **pipeline (pp)** — the
+TPU-native way. The HAET models are ``embedding -> L structurally identical
+pre-LN blocks -> LN+Linear head`` and after the embedding the ONLY
+inter-block traffic is the activation ``fx [B, N, C]``
+(``models/haet.py:_HAETBase.__call__`` — each block takes and returns just
+``fx``), which makes the stack a textbook pipeline:
+
+* the ``L`` blocks are split into ``S = mesh.shape['pp']`` contiguous
+  stages of ``L/S`` blocks each, their parameters **stacked on a leading
+  layer axis and sharded over pp** (each chip stores only its stage's
+  parameters and optimizer state — the actual memory point of pp);
+* the batch is split into ``M`` microbatches that stream stage-to-stage
+  with ``lax.ppermute`` (one ICI neighbour hop per tick), overlapping
+  stage compute exactly like GPipe (Huang et al., arXiv:1811.06965);
+* ``jax.grad`` differentiates straight through the tick loop — ppermute's
+  transpose is the reverse permute, so the backward pass is the standard
+  reverse-order pipeline with no extra code;
+* per-block ``jax.checkpoint`` (``remat=True``) stashes only the
+  microbatch boundaries, GPipe's activation-memory recipe.
+
+Composition / scope (validated at construction):
+
+* composes with **dp**: pass ``dp_axis`` and a ``(dp, pp)`` mesh — the
+  batch dim of every microbatch is sharded over dp while stages run over
+  pp. Layout note: microbatches are *strided* subsets of the batch
+  (``[B] -> [B/M, M]`` keeps a dp-sharded batch axis local, no resharding).
+* head-TP (``shard_axes``) and the fused Pallas kernels are per-model
+  ``shard_map``/constraint mechanisms that cannot nest inside the pipeline
+  body — constructing a :class:`PipelinedModel` over a model with either
+  enabled raises.
+* train-mode BatchNorm takes sequential-microbatch semantics (stats chain
+  across a stage's microbatches in order) — the same documented semantics
+  as gradient accumulation (``train/trainer.py:_accum_grads``); with
+  ``num_microbatches=1`` and dp=1 training matches the unpipelined model
+  exactly. Under a dp axis, batch statistics are additionally per-dp-shard
+  (the shard_map body sees only its local microbatch slice; the plain dp
+  path lets XLA compute global-batch statistics) and the running stats are
+  pmean-averaged across dp on exit.
+* bubble fraction is the usual ``(S-1)/(M+S-1)``: for HAET-scale models
+  (1.76M params) pp is not a speed feature — it is the capacity axis for
+  scaled-up configs whose parameters/optimizer state exceed one chip.
+
+The wrapper exposes the flax surface :class:`haet_tpu.train.Trainer`
+consumes (``init`` / ``apply(variables, x, fx, T, train=, mutable=,
+rngs=)``), so ``Trainer(model=PipelinedModel(...), mesh=...)`` trains
+pipelined with no trainer changes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import unfreeze
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.components.embedding import timestep_embedding
+from ..models.components.mlp import MLP
+from ..models.haet import TransolverErwinBlock
+
+# Parameters of the last block that belong to the output head (the
+# ``last_layer=True`` extras: LN + Linear(out_dim), models/haet.py:100-105),
+# split out so all L block subtrees share one tree structure and can stack.
+_HEAD_KEYS = ("ln_3", "mlp2")
+
+
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _unstack(tree, n):
+    return [jax.tree_util.tree_map(lambda a: a[i], tree) for i in range(n)]
+
+
+def split_variables(variables, n_layers: int) -> dict:
+    """Standard model variables -> pipeline layout.
+
+    ``{'params': {blocks_i, preprocess, ...}}`` becomes
+    ``{'params': {'pre': ..., 'layers': <stacked [L, ...]>, 'head': ...}}``
+    (and ``batch_stats`` likewise under ``'layers'``). The stacked layout is
+    what lets the pp mesh axis shard parameters by stage.
+    """
+    variables = unfreeze(variables)
+    params = dict(variables["params"])
+    blocks = [dict(params.pop(f"blocks_{i}")) for i in range(n_layers)]
+    head = {k: blocks[-1].pop(k) for k in _HEAD_KEYS}
+    out = {"params": {"pre": params, "layers": _stack(blocks), "head": head}}
+    if "batch_stats" in variables and jax.tree_util.tree_leaves(
+            variables["batch_stats"]):
+        bs = dict(variables["batch_stats"])
+        bls = [bs.pop(f"blocks_{i}") for i in range(n_layers)]
+        if jax.tree_util.tree_leaves(bs):
+            raise ValueError(
+                f"unexpected non-block batch_stats keys: {list(bs)}")
+        out["batch_stats"] = {"layers": _stack(bls)}
+    return out
+
+
+def merge_variables(pvars, n_layers: int) -> dict:
+    """Pipeline layout -> standard model variables (checkpoint interchange,
+    e.g. to evaluate an unpipelined copy or export via haet_tpu.export)."""
+    pvars = unfreeze(pvars)
+    params = dict(pvars["params"]["pre"])
+    blocks = _unstack(pvars["params"]["layers"], n_layers)
+    blocks[-1] = {**blocks[-1], **pvars["params"]["head"]}
+    for i, b in enumerate(blocks):
+        params[f"blocks_{i}"] = b
+    out = {"params": params}
+    if "batch_stats" in pvars:
+        bls = _unstack(pvars["batch_stats"]["layers"], n_layers)
+        out["batch_stats"] = {
+            f"blocks_{i}": b for i, b in enumerate(bls)}
+    return out
+
+
+class PipelinedModel:
+    """Pipeline-parallel execution wrapper for a HAET model.
+
+    Args:
+        model: an unbound ``_HAETBase`` subclass instance (2D/3D/irregular).
+        mesh: a ``jax.sharding.Mesh`` containing ``pp_axis`` (and
+            optionally ``dp_axis``).
+        num_microbatches: microbatches per step (must divide the batch);
+            default = number of stages (fills the pipeline).
+        pp_axis / dp_axis: mesh axis names.
+        remat: rematerialize each block in the backward pass, keeping only
+            microbatch boundary activations (GPipe's memory recipe).
+    """
+
+    def __init__(self, model, mesh, *, num_microbatches: Optional[int] = None,
+                 pp_axis: str = "pp", dp_axis: Optional[str] = None,
+                 remat: bool = True):
+        if pp_axis not in mesh.shape:
+            raise ValueError(f"mesh has no {pp_axis!r} axis: {mesh.shape}")
+        if dp_axis is not None and dp_axis not in mesh.shape:
+            raise ValueError(f"mesh has no {dp_axis!r} axis: {mesh.shape}")
+        if getattr(model, "shard_axes", None) is not None:
+            raise ValueError(
+                "PipelinedModel cannot wrap a model with head-TP "
+                "shard_axes: sharding constraints cannot apply inside the "
+                "pipeline's shard_map body. Use pp x dp (drop shard_axes).")
+        if getattr(model, "use_pallas", False) or getattr(
+                model, "use_pallas_erwin", False):
+            raise ValueError(
+                "PipelinedModel requires use_pallas=False / "
+                "use_pallas_erwin=False: the fused kernels' own shard_map "
+                "wrapping cannot nest inside the pipeline body.")
+        self.model = model
+        self.mesh = mesh
+        self.pp_axis = pp_axis
+        self.dp_axis = dp_axis
+        self.n_stages = int(mesh.shape[pp_axis])
+        self.n_layers = int(model.n_layers)
+        if self.n_layers % self.n_stages:
+            raise ValueError(
+                f"n_layers ({self.n_layers}) must be divisible by the "
+                f"pipeline stage count ({self.n_stages})")
+        self.num_microbatches = int(num_microbatches or self.n_stages)
+        if self.num_microbatches < 1:
+            raise ValueError("num_microbatches must be >= 1")
+        self.remat = remat
+        self.block = TransolverErwinBlock(
+            last_layer=False, **model.block_kwargs())
+
+    # -- variables ---------------------------------------------------------
+    def init(self, rng, *args, **kwargs):
+        return split_variables(
+            self.model.init(rng, *args, **kwargs), self.n_layers)
+
+    def to_pipeline_variables(self, variables):
+        return split_variables(variables, self.n_layers)
+
+    def from_pipeline_variables(self, pvars):
+        return merge_variables(pvars, self.n_layers)
+
+    def state_sharding(self, tree):
+        """Sharding tree for a state pytree: every stacked per-layer leaf
+        (path contains ``'layers'`` with the leading [L] axis) is sharded
+        over pp — each stage's chips hold ONLY their layers' parameters and
+        optimizer moments — everything else replicated. Consumed by
+        ``Trainer.init_state`` / ``maybe_restore`` via the ``state_sharding``
+        hook."""
+        repl = NamedSharding(self.mesh, P())
+        staged = NamedSharding(self.mesh, P(self.pp_axis))
+
+        def pick(path, leaf):
+            in_layers = any(
+                getattr(k, "key", getattr(k, "name", None)) == "layers"
+                for k in path)
+            if (in_layers and hasattr(leaf, "ndim") and leaf.ndim >= 1
+                    and leaf.shape[0] == self.n_layers):
+                return staged
+            return repl
+
+        return jax.tree_util.tree_map_with_path(pick, tree)
+
+    # -- forward -----------------------------------------------------------
+    def apply(self, variables, x, fx=None, T=None, *, train: bool = False,
+              mutable=None, rngs=None):
+        m = self.model
+        p = variables["params"]
+        bs_layers = variables.get("batch_stats", {}).get("layers")
+        has_bn = bs_layers is not None and bool(
+            jax.tree_util.tree_leaves(bs_layers))
+
+        # ---- embedding (tiny; runs outside the pipeline, dp-sharded) ----
+        # Re-states _HAETBase.__call__'s pre-block section against the
+        # 'pre' param subtree; test_pipeline.py pins exact parity with
+        # model.apply so any drift in either copy fails loudly.
+        if m.unified_pos:
+            x = m._pos_features(x)
+        fx_was_none = fx is None
+        h = jnp.concatenate([x, fx], axis=-1) if fx is not None else x
+        h = MLP(m.n_hidden * 2, m.n_hidden, n_layers=0, res=False,
+                act=m.act, dtype=m.dtype, param_dtype=m.param_dtype).apply(
+            {"params": p["pre"]["preprocess"]}, h)
+        if m._always_placeholder() or fx_was_none:
+            h = h + p["pre"]["placeholder"][None, None, :]
+        if m.Time_Input:
+            if T is not None:
+                emb = timestep_embedding(T, m.n_hidden)[:, None, :]
+                dense = lambda name: nn.Dense(  # noqa: E731
+                    m.n_hidden, dtype=m.dtype, param_dtype=m.param_dtype)
+                t1 = dense("time_fc1").apply(
+                    {"params": p["pre"]["time_fc1"]}, emb)
+                h = h + dense("time_fc2").apply(
+                    {"params": p["pre"]["time_fc2"]}, nn.silu(t1))
+        elif T is not None:
+            raise ValueError("T was passed but Time_Input=False")
+
+        # ---- pipelined block stack ----
+        dropout_key = None
+        if train and float(m.dropout) > 0.0:
+            if not rngs or "dropout" not in rngs:
+                raise ValueError(
+                    "train=True with dropout > 0 needs rngs={'dropout': key}")
+            dropout_key = rngs["dropout"]
+        h, new_bs_layers = self._pipeline(
+            p["layers"], bs_layers, h, train, dropout_key, has_bn)
+
+        # ---- head (last block's LN + Linear, models/haet.py:100-105) ----
+        y = nn.LayerNorm(epsilon=1e-5, dtype=m.dtype,
+                         param_dtype=m.param_dtype).apply(
+            {"params": p["head"]["ln_3"]}, h)
+        y = nn.Dense(m.out_dim, dtype=m.dtype, param_dtype=m.param_dtype).apply(
+            {"params": p["head"]["mlp2"]}, y)
+
+        if mutable:
+            upd = {"batch_stats": {"layers": new_bs_layers}} if has_bn \
+                else {"batch_stats": {}}
+            return y, upd
+        return y
+
+    __call__ = apply
+
+    # -- the pipeline itself -------------------------------------------------
+    def _pipeline(self, p_layers, bs_layers, h, train, dropout_key, has_bn):
+        S, M = self.n_stages, self.num_microbatches
+        L_loc = self.n_layers // S
+        pp = self.pp_axis
+        B, N, C = h.shape
+        if B % M:
+            raise ValueError(
+                f"num_microbatches ({M}) must divide the batch ({B})")
+        n_dp = int(self.mesh.shape[self.dp_axis]) if self.dp_axis else 1
+        if (B // M) % n_dp:
+            raise ValueError(
+                f"batch/microbatches ({B}//{M}) must be divisible by the "
+                f"dp mesh size ({n_dp})")
+
+        # [B] -> [B/M, M]: microbatch m is the strided subset b*M+m, so a
+        # dp sharding on the batch axis stays local through the reshape.
+        micro = h.reshape(B // M, M, N, C)
+        micro_spec = (P(self.dp_axis, None, None, None)
+                      if self.dp_axis else P(None, None, None, None))
+        if self.dp_axis:
+            micro = jax.lax.with_sharding_constraint(
+                micro, NamedSharding(self.mesh, micro_spec))
+
+        block, remat = self.block, self.remat
+        if bs_layers is None:
+            bs_layers = {}
+        if dropout_key is None:
+            # constant placeholder so the shard_map signature is static
+            dropout_key = jnp.zeros((2,), jnp.uint32)
+            use_dropout = False
+        else:
+            use_dropout = True
+
+        def body(micro, p_loc, bs_loc, key):
+            stage = jax.lax.axis_index(pp)
+            Bl = micro.shape[0]
+
+            def run_stage(h_in, bs_loc, m_idx):
+                def one_layer(h, xs):
+                    p1, bs1, gl = xs
+                    var = {"params": p1}
+                    if has_bn:
+                        var["batch_stats"] = bs1
+                    rng_kw = {}
+                    if use_dropout:
+                        # deterministic in (global layer, microbatch) — the
+                        # masks don't depend on the stage count S
+                        rng_kw["rngs"] = {"dropout": jax.random.fold_in(
+                            jax.random.fold_in(key, gl), m_idx)}
+                    if train and has_bn:
+                        out, mut = block.apply(
+                            var, h, True, mutable=["batch_stats"], **rng_kw)
+                        return out, mut["batch_stats"]
+                    return block.apply(var, h, train, **rng_kw), bs1
+
+                fn = jax.checkpoint(one_layer) if remat else one_layer
+                gl = stage * L_loc + jnp.arange(L_loc)
+                return jax.lax.scan(fn, h_in, (p_loc, bs_loc, gl))
+
+            def tick(carry, t):
+                state, bs_loc = carry
+                m_in = jnp.clip(t, 0, M - 1)
+                x_t = jax.lax.dynamic_index_in_dim(
+                    micro, m_in, axis=1, keepdims=False)
+                inp = jnp.where(stage == 0, x_t, state)
+                m_idx = jnp.clip(t - stage, 0, M - 1)
+                out, bs_new = run_stage(inp, bs_loc, m_idx)
+                if train and has_bn:
+                    # keep stats only from real microbatches, not the
+                    # warmup/drain bubble's garbage lanes
+                    valid = ((t - stage) >= 0) & ((t - stage) < M)
+                    bs_loc = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(valid, new, old),
+                        bs_new, bs_loc)
+                nxt = jax.lax.ppermute(
+                    out, pp, [(i, (i + 1) % S) for i in range(S)])
+                return (nxt, bs_loc), out
+
+            # VMA bookkeeping: the tick loop's carries become varying over
+            # pp (ppermute/params) and, with a dp axis, over dp (microbatch
+            # data) — pcast the initial values to the final varying set so
+            # the scan carry types are stable from iteration 0.
+            vary = (pp,) + ((self.dp_axis,) if self.dp_axis else ())
+            state0 = jax.lax.pcast(
+                jnp.zeros((Bl, N, C), micro.dtype), vary, to="varying")
+            if train and has_bn and self.dp_axis:
+                # bs_loc enters pp-varying (sharded params); add dp
+                bs_loc = jax.tree_util.tree_map(
+                    lambda a: jax.lax.pcast(
+                        a, self.dp_axis, to="varying"), bs_loc)
+            (_, bs_loc), outs = jax.lax.scan(
+                tick, (state0, bs_loc), jnp.arange(M + S - 1))
+            if train and has_bn and self.dp_axis:
+                # per-dp-shard BN stats are averaged (the framework keeps
+                # ONE stats tree; mean of per-shard running stats)
+                bs_loc = jax.lax.pmean(bs_loc, self.dp_axis)
+            # the last stage's outputs for microbatches 0..M-1 are the
+            # ticks S-1 .. S-1+M-1 (static slice); broadcast them pp-wide
+            outs = jax.lax.dynamic_slice_in_dim(outs, S - 1, M, axis=0)
+            outs = jax.lax.psum(
+                jnp.where(stage == S - 1, outs, jnp.zeros_like(outs)), pp)
+            return jnp.moveaxis(outs, 0, 1), bs_loc
+
+        out, new_bs = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(micro_spec, P(pp), P(pp), P()),
+            out_specs=(micro_spec, P(pp)),
+        )(micro, p_layers, bs_layers, dropout_key)
+        return out.reshape(B, N, C), new_bs

@@ -218,9 +218,19 @@ class Trainer:
             opt_state=self.tx.init(params),
         )
         if self.mesh is not None:
-            from ..parallel.mesh import replicate
-            state = jax.device_put(state, replicate(self.mesh))
+            state = self._place_state(state)
         return state
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Place state on the mesh: replicated, unless the model declares a
+        ``state_sharding`` hook (e.g. ``parallel.pipeline.PipelinedModel``
+        shards per-layer parameter stacks over the pp axis so each stage
+        stores only its layers + optimizer moments)."""
+        placer = getattr(self.model, "state_sharding", None)
+        if placer is not None:
+            return jax.device_put(state, placer(state))
+        from ..parallel.mesh import replicate
+        return jax.device_put(state, replicate(self.mesh))
 
     def num_params(self, state: TrainState) -> int:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
@@ -240,8 +250,7 @@ class Trainer:
             return state
         print(f"[Trainer] resumed from step {int(restored.step)}")
         if self.mesh is not None:
-            from ..parallel.mesh import replicate
-            restored = jax.device_put(restored, replicate(self.mesh))
+            restored = self._place_state(restored)
         return restored
 
     # -- steps ------------------------------------------------------------
