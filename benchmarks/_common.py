@@ -147,9 +147,11 @@ def make_mesh_from_args(cfg, args):
                             devices=jax.devices()[: n_dp * n_pp])
         mb = getattr(args, "pp_microbatches", 0) or n_pp
         if cfg.train.batch_size % (mb * n_dp):
-            raise SystemExit(
-                f"batch size {cfg.train.batch_size} must be divisible by "
-                f"pp_microbatches x dp ({mb} x {n_dp})")
+            # not fatal — PipelinedModel pads such batches transparently —
+            # but every step would compute pad rows, so say so
+            print(f"[mesh] note: batch size {cfg.train.batch_size} is not "
+                  f"divisible by pp_microbatches x dp ({mb} x {n_dp}); "
+                  "every step will pad (wasted compute on pad rows)")
         print(f"[mesh] dp={n_dp} pp={n_pp} microbatches={mb} "
               f"({n_dp * n_pp} devices)")
         return mesh

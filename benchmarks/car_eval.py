@@ -68,7 +68,25 @@ def main(args):
     else:
         ckpt = Checkpointer(args.checkpoint_dir)
         template = jax.tree_util.tree_map(np.asarray, state)
-        restored = ckpt.restore(template, args.which)
+        try:
+            restored = ckpt.restore(template, args.which)
+        except Exception:
+            # A checkpoint written by a --pp (pipeline-parallel) run stores
+            # the pipeline layout {pre, layers, head}; convert it to the
+            # plain model's blocks_i tree for evaluation.
+            raw = ckpt.restore_raw(args.which)
+            if raw is None or "layers" not in (raw.get("params") or {}):
+                raise
+            from haet_tpu.parallel.pipeline import merge_variables
+
+            merged = merge_variables(
+                {"params": raw["params"],
+                 "batch_stats": raw["batch_stats"]},
+                cfg.model.n_layers)
+            restored = state.replace(params=merged["params"],
+                                     batch_stats=merged["batch_stats"])
+            print("[car_eval] converted a --pp pipeline-layout checkpoint "
+                  "to the plain model layout")
         if restored is None:
             print(f"[car_eval] no checkpoint at "
                   f"{args.checkpoint_dir}/{args.which}"

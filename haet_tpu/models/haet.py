@@ -266,6 +266,58 @@ class _HAETBase(nn.Module):
         return fx
 
 
+    # --- raw-param application (consumed by parallel.pipeline) -----------
+    @nn.nowrap
+    def apply_pre(self, pre_params, x, fx=None, T=None):
+        """The pre-block section of ``__call__`` (unified_pos features,
+        preprocess MLP, placeholder, time embedding) applied from a raw
+        param subtree ``{preprocess, placeholder, time_fc1/2}``.
+
+        ``parallel.pipeline.PipelinedModel`` cannot run the compact
+        ``__call__`` (its block stack executes inside a shard_map), so this
+        re-states the same math against explicit params. KEEP IN LOCKSTEP
+        with ``__call__`` above — ``tests/test_pipeline.py`` pins exact
+        parity for the unified_pos / placeholder / Time_Input paths.
+        """
+        if self.unified_pos:
+            x = self._pos_features(x)
+        fx_was_none = fx is None
+        h = jnp.concatenate([x, fx], axis=-1) if fx is not None else x
+        h = MLP(self.n_hidden * 2, self.n_hidden, n_layers=0, res=False,
+                act=self.act, dtype=self.dtype,
+                param_dtype=self.param_dtype).apply(
+            {"params": pre_params["preprocess"]}, h)
+        if self._always_placeholder() or fx_was_none:
+            h = h + pre_params["placeholder"][None, None, :]
+        if self.Time_Input:
+            if T is not None:
+                emb = timestep_embedding(T, self.n_hidden)[:, None, :]
+                dense = lambda: nn.Dense(  # noqa: E731
+                    self.n_hidden, dtype=self.dtype,
+                    param_dtype=self.param_dtype)
+                t1 = dense().apply({"params": pre_params["time_fc1"]}, emb)
+                h = h + dense().apply(
+                    {"params": pre_params["time_fc2"]}, nn.silu(t1))
+        elif T is not None:
+            raise ValueError(
+                "T was passed but Time_Input=False — the reference model "
+                "has no time_fc in this configuration (..._2D.py:257)")
+        return h
+
+    @nn.nowrap
+    def apply_head(self, head_params, h):
+        """The last block's ``last_layer`` extras (LN + Linear(out_dim),
+        :class:`TransolverErwinBlock` lines above) applied from a raw param
+        subtree ``{ln_3, mlp2}`` — the pipeline's output head. KEEP IN
+        LOCKSTEP with ``TransolverErwinBlock.__call__``."""
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=self.param_dtype).apply(
+            {"params": head_params["ln_3"]}, h)
+        return nn.Dense(self.out_dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype).apply(
+            {"params": head_params["mlp2"]}, y)
+
+
 class HAETransolverStructuredMesh2D(_HAETBase):
     """2D structured-mesh HAET (reference ``HAETransolver_Structured_Mesh_2D.py:146``)."""
 

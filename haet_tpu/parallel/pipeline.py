@@ -35,10 +35,16 @@ Composition / scope (validated at construction):
   across a stage's microbatches in order) — the same documented semantics
   as gradient accumulation (``train/trainer.py:_accum_grads``); with
   ``num_microbatches=1`` and dp=1 training matches the unpipelined model
-  exactly. Under a dp axis, batch statistics are additionally per-dp-shard
-  (the shard_map body sees only its local microbatch slice; the plain dp
-  path lets XLA compute global-batch statistics) and the running stats are
-  pmean-averaged across dp on exit.
+  exactly for dropout=0 configs (with dropout>0 the masks are derived from
+  ``fold_in(key, (dp_shard, global_layer, microbatch))`` instead of flax's
+  module-path folding, so they are valid but not bitwise the plain
+  model's). Under a dp axis, batch statistics are additionally
+  per-dp-shard (the shard_map body sees only its local microbatch slice;
+  the plain dp path lets XLA compute global-batch statistics) and the
+  running stats are pmean-averaged across dp on exit.
+* batches whose size doesn't divide microbatches x dp (e.g. the trailing
+  partial batch of an epoch) are transparently padded with wraparound
+  copies and the pad rows sliced off the output.
 * bubble fraction is the usual ``(S-1)/(M+S-1)``: for HAET-scale models
   (1.76M params) pp is not a speed feature — it is the capacity axis for
   scaled-up configs whose parameters/optimizer state exceed one chip.
@@ -55,12 +61,9 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-from flax import linen as nn
 from flax.core import unfreeze
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.components.embedding import timestep_embedding
-from ..models.components.mlp import MLP
 from ..models.haet import TransolverErwinBlock
 
 # Parameters of the last block that belong to the output head (the
@@ -125,8 +128,9 @@ class PipelinedModel:
         model: an unbound ``_HAETBase`` subclass instance (2D/3D/irregular).
         mesh: a ``jax.sharding.Mesh`` containing ``pp_axis`` (and
             optionally ``dp_axis``).
-        num_microbatches: microbatches per step (must divide the batch);
-            default = number of stages (fills the pipeline).
+        num_microbatches: microbatches per step (batches that don't divide
+            microbatches x dp are padded transparently); default = number
+            of stages (fills the pipeline).
         pp_axis / dp_axis: mesh axis names.
         remat: rematerialize each block in the backward pass, keeping only
             microbatch boundary activations (GPipe's memory recipe).
@@ -209,29 +213,10 @@ class PipelinedModel:
             jax.tree_util.tree_leaves(bs_layers))
 
         # ---- embedding (tiny; runs outside the pipeline, dp-sharded) ----
-        # Re-states _HAETBase.__call__'s pre-block section against the
-        # 'pre' param subtree; test_pipeline.py pins exact parity with
-        # model.apply so any drift in either copy fails loudly.
-        if m.unified_pos:
-            x = m._pos_features(x)
-        fx_was_none = fx is None
-        h = jnp.concatenate([x, fx], axis=-1) if fx is not None else x
-        h = MLP(m.n_hidden * 2, m.n_hidden, n_layers=0, res=False,
-                act=m.act, dtype=m.dtype, param_dtype=m.param_dtype).apply(
-            {"params": p["pre"]["preprocess"]}, h)
-        if m._always_placeholder() or fx_was_none:
-            h = h + p["pre"]["placeholder"][None, None, :]
-        if m.Time_Input:
-            if T is not None:
-                emb = timestep_embedding(T, m.n_hidden)[:, None, :]
-                dense = lambda name: nn.Dense(  # noqa: E731
-                    m.n_hidden, dtype=m.dtype, param_dtype=m.param_dtype)
-                t1 = dense("time_fc1").apply(
-                    {"params": p["pre"]["time_fc1"]}, emb)
-                h = h + dense("time_fc2").apply(
-                    {"params": p["pre"]["time_fc2"]}, nn.silu(t1))
-        elif T is not None:
-            raise ValueError("T was passed but Time_Input=False")
+        # _HAETBase.apply_pre re-states __call__'s pre-block section
+        # against the 'pre' param subtree (kept in lockstep there);
+        # test_pipeline.py pins exact parity with model.apply.
+        h = m.apply_pre(p["pre"], x, fx, T)
 
         # ---- pipelined block stack ----
         dropout_key = None
@@ -243,12 +228,8 @@ class PipelinedModel:
         h, new_bs_layers = self._pipeline(
             p["layers"], bs_layers, h, train, dropout_key, has_bn)
 
-        # ---- head (last block's LN + Linear, models/haet.py:100-105) ----
-        y = nn.LayerNorm(epsilon=1e-5, dtype=m.dtype,
-                         param_dtype=m.param_dtype).apply(
-            {"params": p["head"]["ln_3"]}, h)
-        y = nn.Dense(m.out_dim, dtype=m.dtype, param_dtype=m.param_dtype).apply(
-            {"params": p["head"]["mlp2"]}, y)
+        # ---- head (last block's LN + Linear, models/haet.py) ----
+        y = m.apply_head(p["head"], h)
 
         if mutable:
             upd = {"batch_stats": {"layers": new_bs_layers}} if has_bn \
@@ -264,18 +245,21 @@ class PipelinedModel:
         L_loc = self.n_layers // S
         pp = self.pp_axis
         B, N, C = h.shape
-        if B % M:
-            raise ValueError(
-                f"num_microbatches ({M}) must divide the batch ({B})")
         n_dp = int(self.mesh.shape[self.dp_axis]) if self.dp_axis else 1
-        if (B // M) % n_dp:
-            raise ValueError(
-                f"batch/microbatches ({B}//{M}) must be divisible by the "
-                f"dp mesh size ({n_dp})")
+        # Trailing partial batches (batch_iter(drop_last=False) yields them)
+        # are transparently padded with wraparound copies up to the next
+        # multiple of microbatches x dp and sliced off after; the loss never
+        # sees pad rows so their cotangent is zero (train-mode BN batch
+        # statistics on a padded batch do include the duplicate rows — the
+        # same order of approximation as microbatch BN itself).
+        unit = M * n_dp
+        b_pad = -(-B // unit) * unit
+        if b_pad != B:
+            h = h[jnp.arange(b_pad) % B]
 
         # [B] -> [B/M, M]: microbatch m is the strided subset b*M+m, so a
         # dp sharding on the batch axis stays local through the reshape.
-        micro = h.reshape(B // M, M, N, C)
+        micro = h.reshape(b_pad // M, M, N, C)
         micro_spec = (P(self.dp_axis, None, None, None)
                       if self.dp_axis else P(None, None, None, None))
         if self.dp_axis:
@@ -295,6 +279,11 @@ class PipelinedModel:
         def body(micro, p_loc, bs_loc, key):
             stage = jax.lax.axis_index(pp)
             Bl = micro.shape[0]
+            if use_dropout and self.dp_axis:
+                # distinct masks per dp shard (the replicated key would
+                # otherwise repeat the same pattern on every shard)
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(self.dp_axis))
 
             def run_stage(h_in, bs_loc, m_idx):
                 def one_layer(h, xs):
@@ -367,4 +356,4 @@ class PipelinedModel:
             in_specs=(micro_spec, P(pp), P(pp), P()),
             out_specs=(micro_spec, P(pp)),
         )(micro, p_layers, bs_layers, dropout_key)
-        return out.reshape(B, N, C), new_bs
+        return out.reshape(b_pad, N, C)[:B], new_bs

@@ -12,4 +12,5 @@ from .trainer import (  # noqa: F401
     Trainer,
     TrainState,
     make_optimizer,
+    make_schedule,
 )

@@ -17,6 +17,7 @@ import re
 import shutil
 from typing import Any
 
+import jax
 import orbax.checkpoint as ocp
 
 _EPOCH_RE = re.compile(r"^epoch_(\d+)$")
@@ -126,18 +127,46 @@ class Checkpointer:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def restore(self, state_template: Any, name: str = "last"):
-        """Restore by name: ``best`` / ``last`` / ``epoch_{N}`` /
-        ``latest_periodic``. Returns None if absent."""
+    def _resolve(self, name: str):
         if name == "latest_periodic":
             epochs = self.periodic_epochs()
             if not epochs:
                 return None
             name = f"epoch_{epochs[-1]}"
         path = os.path.join(self.directory, name)
-        if not os.path.exists(path):
+        return path if os.path.exists(path) else None
+
+    def restore(self, state_template: Any, name: str = "last"):
+        """Restore by name: ``best`` / ``last`` / ``epoch_{N}`` /
+        ``latest_periodic``. Returns None if absent."""
+        path = self._resolve(name)
+        if path is None:
             return None
         return self._ckpt.restore(path, state_template)
+
+    def restore_raw(self, name: str = "last"):
+        """Template-free restore to host numpy: the saved tree as nested
+        dicts, with every leaf a ``np.ndarray`` regardless of the device
+        topology it was saved under. Used to read checkpoints whose tree
+        LAYOUT differs from the caller's state — e.g. evaluating a
+        ``--pp`` run's pipeline-layout checkpoint with the plain model
+        (``parallel.pipeline.merge_variables``). Returns None if absent."""
+        path = self._resolve(name)
+        if path is None:
+            return None
+        import numpy as np
+
+        pt = ocp.PyTreeCheckpointer()
+        try:
+            meta = pt.metadata(path)
+            restore_args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+            return pt.restore(path, restore_args=restore_args)
+        except Exception:
+            # fallback: let orbax pick (reads sharding info from the file;
+            # fine on the same topology)
+            raw = pt.restore(path)
+            return jax.tree_util.tree_map(np.asarray, raw)
 
     def wait(self):
         self._ckpt.wait_until_finished()

@@ -45,8 +45,16 @@ class TrainState(struct.PyTreeNode):
 def make_schedule(cfg: TrainConfig, total_steps: int):
     """The learning-rate schedule as a ``step -> lr`` callable."""
     if cfg.schedule == "onecycle":
+        # optax's cosine_onecycle builds piecewise boundaries at
+        # pct_start*transition_steps; a horizon short enough to round a
+        # phase to zero steps divides by zero and returns NaN LR for EVERY
+        # step — silently NaN-ing the params (observed: total_steps=2,
+        # pct_start=0.3). Stretch tiny horizons so both phases are >= 1
+        # step; real runs (total_steps >> 1/pct_start) are unaffected.
+        p = float(cfg.pct_start)
+        min_steps = int(np.ceil(max(1.0 / p, 1.0 / (1.0 - p))))
         return optax.cosine_onecycle_schedule(
-            transition_steps=total_steps,
+            transition_steps=max(total_steps, min_steps),
             peak_value=cfg.lr,
             pct_start=cfg.pct_start,
             div_factor=25.0,
@@ -204,18 +212,37 @@ class Trainer:
     # -- state ------------------------------------------------------------
     def init_state(self, rng, sample_batch) -> TrainState:
         args = self.batch_args(sample_batch)
-        if self.mesh is not None:
+        placer = (getattr(self.model, "state_sharding", None)
+                  if self.mesh is not None else None)
+        if placer is not None:
+            # Sharded-from-birth: jit out_shardings place the parameter
+            # stacks (and the Adam moments below) directly on their stage
+            # devices — a scaled-up config whose params/optimizer state
+            # exceed one chip (pp's use case) must never materialize the
+            # full tree on one device first.
             with self.mesh:
-                variables = jax.jit(self.model.init)(rng, *args)
+                var_sh = placer(jax.eval_shape(self.model.init, rng, *args))
+                variables = jax.jit(
+                    self.model.init, out_shardings=var_sh)(rng, *args)
+                params = variables["params"]
+                batch_stats = variables.get("batch_stats", FrozenDict())
+                opt_sh = placer(jax.eval_shape(self.tx.init, params))
+                opt_state = jax.jit(
+                    self.tx.init, out_shardings=opt_sh)(params)
         else:
-            variables = jax.jit(self.model.init)(rng, *args)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", FrozenDict())
+            if self.mesh is not None:
+                with self.mesh:
+                    variables = jax.jit(self.model.init)(rng, *args)
+            else:
+                variables = jax.jit(self.model.init)(rng, *args)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", FrozenDict())
+            opt_state = self.tx.init(params)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
+            opt_state=opt_state,
         )
         if self.mesh is not None:
             state = self._place_state(state)
@@ -245,7 +272,20 @@ class Trainer:
         if hasattr(checkpointer, "rearm_best"):
             checkpointer.rearm_best()
         template = jax.tree_util.tree_map(np.asarray, state)
-        restored = checkpointer.restore(template, which)
+        try:
+            restored = checkpointer.restore(template, which)
+        except Exception as e:
+            is_pp = hasattr(self.model, "from_pipeline_variables")
+            raise RuntimeError(
+                "checkpoint tree does not match this run's state layout. "
+                "Most likely cause: a checkpoint written "
+                + ("without --pp cannot resume a --pp run"
+                   if is_pp else
+                   "by a --pp run cannot resume an unpipelined run")
+                + " (the optimizer-state layouts differ). Resume with the "
+                "original parallel flags, or evaluate/export via car_eval, "
+                "which auto-converts pipeline-layout checkpoints."
+            ) from e
         if restored is None:
             return state
         print(f"[Trainer] resumed from step {int(restored.step)}")

@@ -268,14 +268,97 @@ def test_pipeline_validations():
     with pytest.raises(ValueError, match="use_pallas"):
         PipelinedModel(_model(use_pallas="auto"), mesh)
 
-    pm = PipelinedModel(model, mesh, num_microbatches=3, dp_axis="dp")
     x, fx, _ = _data(B=4)
-    pvars = pm.init(jax.random.PRNGKey(0), x, fx)
-    with pytest.raises(ValueError, match="must divide the batch"):
-        with mesh:
-            pm.apply(pvars, x, fx)
-
     pm2 = PipelinedModel(_model(dropout=0.1), mesh, dp_axis="dp")
+    pvars = pm2.init(jax.random.PRNGKey(0), x, fx)
     with pytest.raises(ValueError, match="dropout"):
         with mesh:
             pm2.apply(pvars, x, fx, train=True, mutable=["batch_stats"])
+
+
+def test_pipeline_partial_batch_padding():
+    """A batch that doesn't divide microbatches x dp (the trailing partial
+    batch of an epoch) is transparently padded and sliced — outputs match
+    the plain model on the real rows."""
+    model = _model()
+    x, fx, _ = _data(B=3)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    ref = model.apply(variables, x, fx)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "pp"))
+    pm = PipelinedModel(model, mesh, num_microbatches=2, dp_axis="dp")
+    pvars = pm.to_pipeline_variables(variables)
+    with mesh:
+        out = jax.jit(lambda v, a, b: pm.apply(v, a, b))(pvars, x, fx)
+    assert out.shape == ref.shape
+    assert float(jnp.max(jnp.abs(out - ref))) < 2e-5
+
+
+def test_pipeline_driver_glue(tmp_path, capsys):
+    """The --pp CLI path end to end: make_mesh_from_args builds the
+    (dp, pp) mesh, maybe_pipeline wraps the model, and Trainer.fit runs
+    epochs/eval/checkpoints through the pipelined apply."""
+    import argparse
+    import os
+    import sys
+
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks")
+    if bench not in sys.path:
+        sys.path.insert(0, bench)
+    import exp_darcy
+
+    args = argparse.Namespace(
+        lr=1e-3, epochs=2, batch_size=2, n_hidden=32, n_layers=2, n_heads=4,
+        slice_num=16, mlp_ratio=1, downsample=8, unified_pos=0, ntrain=4,
+        ntest=2, bf16=0, data_path=str(tmp_path / "absent"),
+        out_dir=str(tmp_path), showcase=False, resume=False,
+        dp=2, tp=1, pp=2, pp_microbatches=1, smoke=False,
+    )
+    rel = exp_darcy.main(args)
+    out = capsys.readouterr().out
+    assert "[mesh] dp=2 pp=2" in out
+    assert np.isfinite(rel)
+
+
+def test_pipeline_checkpoint_eval_interchange(tmp_path):
+    """A --pp run's checkpoint (pipeline layout) evaluates on the PLAIN
+    model via restore_raw + merge_variables — the car_eval conversion
+    path."""
+    from haet_tpu.train import Checkpointer
+    from haet_tpu.train.trainer import Trainer
+    from haet_tpu.utils.config import TrainConfig
+
+    model = _model()
+    x, fx, y = _data()
+    batch = {"x": x, "fx": fx, "y": y}
+    mesh = make_pp_mesh(n_dp=1, n_pp=4, devices=jax.devices()[:4])
+    pm = PipelinedModel(model, mesh, num_microbatches=1, dp_axis="dp")
+    t_pp = Trainer(
+        model=pm,
+        loss_fn=lambda out, b: (
+            jnp.mean((out.astype(jnp.float32) - b["y"]) ** 2), {}),
+        cfg=TrainConfig(lr=1e-3, epochs=1, batch_size=4),
+        total_steps=2,
+        batch_args=lambda b: (b["x"], b["fx"]),
+        mesh=mesh,
+    )
+    s = t_pp.init_state(jax.random.PRNGKey(0), batch)
+    s, _ = t_pp.train_step(s, batch, jax.random.PRNGKey(1))
+
+    ck = Checkpointer(str(tmp_path))
+    ck.save_last(s, epoch=0)
+    ck.wait()
+
+    raw = ck.restore_raw("last")
+    assert raw is not None and "layers" in raw["params"]
+    merged = merge_variables(
+        {"params": raw["params"], "batch_stats": raw["batch_stats"]},
+        model.n_layers)
+    out_plain = model.apply(
+        {"params": merged["params"], "batch_stats": merged["batch_stats"]},
+        x, fx)
+    with mesh:
+        out_pp = pm.apply(
+            {"params": s.params, "batch_stats": s.batch_stats}, x, fx)
+    assert float(jnp.max(jnp.abs(
+        out_plain - jax.device_get(out_pp)))) < 2e-5

@@ -179,6 +179,22 @@ def test_onecycle_schedule_shape():
     assert float(jnp.max(jnp.abs(upd["w"]))) == 0.0
 
 
+def test_onecycle_finite_at_tiny_horizons():
+    """optax's cosine_onecycle divides by a zero-length phase when
+    pct_start*total_steps rounds to 0 and returns NaN LR for EVERY step
+    (observed at total_steps=2) — make_schedule must stretch tiny horizons
+    instead of silently NaN-ing the params."""
+    from haet_tpu.train import make_schedule
+
+    cfg = TrainConfig(lr=1e-3, schedule="onecycle")
+    for total_steps in (1, 2, 3, 4, 100):
+        sched = make_schedule(cfg, total_steps)
+        for step in range(max(total_steps, 4)):
+            lr = float(sched(step))
+            assert np.isfinite(lr) and 0.0 <= lr <= cfg.lr * 1.001, (
+                total_steps, step, lr)
+
+
 def test_cosine_annealing_matches_torch_per_batch_stepping():
     """schedule='cosine_annealing' reproduces the reference exp_elas LR
     trajectory: torch CosineAnnealingLR(T_max=epochs) stepped once per
