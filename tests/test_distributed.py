@@ -32,13 +32,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_cluster(nproc: int, port: int):
+def _run_cluster(nproc: int, port: int, mode: str = "dp"):
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
            "PYTHONPATH": os.path.dirname(HERE)}
     env.pop("XLA_FLAGS", None)  # worker sets its own 4-device count
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), str(nproc), str(port)],
+            [sys.executable, WORKER, str(pid), str(nproc), str(port), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=os.path.dirname(HERE),
         )
@@ -75,6 +75,31 @@ def test_two_process_cluster_matches_single_process():
     assert one[0]["nglobal"] == 4  # single process keeps its 4 devices
     # device count differs (4 vs 8) but the global batch and math are the
     # same; dp-mean losses and grads must agree to f32 reduction noise
+    assert two[0]["loss"] == pytest.approx(one[0]["loss"], rel=2e-5)
+    assert two[0]["gnorm"] == pytest.approx(one[0]["gnorm"], rel=2e-4)
+    assert two[0]["psum"] == pytest.approx(one[0]["psum"], rel=2e-5)
+
+
+def test_two_process_pipeline_parallel_matches_single_process():
+    """Pipeline parallelism across a REAL process boundary: the pp mesh
+    axis is process-major, so the mid-pipeline lax.ppermute hop crosses
+    the 2-process Gloo cluster (the pod-scale pp layout: stages ride DCN).
+    dp is held at 2 in both cluster sizes (identical per-dp-shard
+    BatchNorm statistics); the stage count (pp=4 across 2 processes vs
+    pp=2 single-process) is numerics-invariant, so the whole train step
+    must agree to f32 reduction noise."""
+    two = _run_cluster(2, _free_port(), mode="pp")
+    assert set(two) == {0, 1}
+    for r in two.values():
+        assert r["nglobal"] == 8 and r["nlocal"] == 4
+
+    # both processes observe the identical global step
+    assert two[0]["loss"] == pytest.approx(two[1]["loss"], rel=1e-7)
+    assert two[0]["gnorm"] == pytest.approx(two[1]["gnorm"], rel=1e-7)
+    assert two[0]["psum"] == pytest.approx(two[1]["psum"], rel=1e-7)
+
+    one = _run_cluster(1, _free_port(), mode="pp")
+    assert one[0]["nglobal"] == 4
     assert two[0]["loss"] == pytest.approx(one[0]["loss"], rel=2e-5)
     assert two[0]["gnorm"] == pytest.approx(one[0]["gnorm"], rel=2e-4)
     assert two[0]["psum"] == pytest.approx(one[0]["psum"], rel=2e-5)
