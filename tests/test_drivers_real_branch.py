@@ -34,8 +34,8 @@ def test_exp_darcy_real_branch(tmp_path, capsys):
     import exp_darcy
 
     args = argparse.Namespace(
-        # batch_size=1: 3 steps/epoch — a OneCycle horizon of only 2 steps
-        # would degenerate (zero-width warmup interval -> nan lr)
+        # batch_size=1: 3 steps/epoch (make_schedule now also stretches
+        # tiny OneCycle horizons, so a 2-step run no longer NaNs)
         lr=1e-3, epochs=2, batch_size=1, n_hidden=32, n_layers=2, n_heads=4,
         slice_num=16, mlp_ratio=1, downsample=2, unified_pos=0, ntrain=3,
         ntest=3, bf16=0, data_path=os.path.join(FIXT, "darcy"),

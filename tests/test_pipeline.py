@@ -293,6 +293,40 @@ def test_pipeline_partial_batch_padding():
     assert float(jnp.max(jnp.abs(out - ref))) < 2e-5
 
 
+def test_pipeline_composes_with_accum():
+    """accum_steps=2 under a pp-only mesh == accum_steps=2 unpipelined
+    (dp=1 keeps the BN microbatch semantics identical, so the whole
+    Trainer step must agree)."""
+    from haet_tpu.train.trainer import Trainer
+    from haet_tpu.utils.config import TrainConfig
+
+    model = _model()
+    x, fx, y = _data()
+    batch = {"x": x, "fx": fx, "y": y}
+    loss_fn = lambda out, b: (  # noqa: E731
+        jnp.mean((out.astype(jnp.float32) - b["y"]) ** 2), {})
+    kw = dict(loss_fn=loss_fn,
+              cfg=TrainConfig(lr=1e-3, epochs=1, batch_size=4,
+                              accum_steps=2),
+              total_steps=4, batch_args=lambda b: (b["x"], b["fx"]))
+
+    t_plain = Trainer(model=model, **kw)
+    s_plain = t_plain.init_state(jax.random.PRNGKey(0), batch)
+    s_plain, m_plain = t_plain.train_step(s_plain, batch,
+                                          jax.random.PRNGKey(1))
+
+    mesh = make_pp_mesh(n_dp=1, n_pp=4, devices=jax.devices()[:4])
+    pm = PipelinedModel(model, mesh, num_microbatches=1, dp_axis="dp")
+    t_pp = Trainer(model=pm, mesh=mesh, **kw)
+    s_pp = t_pp.init_state(jax.random.PRNGKey(0), batch)
+    s_pp, m_pp = t_pp.train_step(s_pp, batch, jax.random.PRNGKey(1))
+
+    assert abs(float(m_plain["loss"]) - float(m_pp["loss"])) < 1e-5
+    merged = merge_variables({"params": jax.device_get(s_pp.params)},
+                             model.n_layers)["params"]
+    assert _max_diff(merged, dict(jax.device_get(s_plain.params))) < 3e-4
+
+
 def test_pipeline_driver_glue(tmp_path, capsys):
     """The --pp CLI path end to end: make_mesh_from_args builds the
     (dp, pp) mesh, maybe_pipeline wraps the model, and Trainer.fit runs
