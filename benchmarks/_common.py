@@ -147,11 +147,13 @@ def make_mesh_from_args(cfg, args):
                             devices=jax.devices()[: n_dp * n_pp])
         mb = getattr(args, "pp_microbatches", 0) or n_pp
         if cfg.train.batch_size % (mb * n_dp):
-            # not fatal — PipelinedModel pads such batches transparently —
-            # but every step would compute pad rows, so say so
+            # not fatal — uneven batches fall back to replicated placement
+            # (parallel/mesh.shard_batch) and the pipeline pads internally
+            # — but EVERY full-size step would then lose the dp speedup
+            # and compute pad rows, so say so
             print(f"[mesh] note: batch size {cfg.train.batch_size} is not "
                   f"divisible by pp_microbatches x dp ({mb} x {n_dp}); "
-                  "every step will pad (wasted compute on pad rows)")
+                  "every step will pad + replicate (wasted compute)")
         print(f"[mesh] dp={n_dp} pp={n_pp} microbatches={mb} "
               f"({n_dp * n_pp} devices)")
         return mesh

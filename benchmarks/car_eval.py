@@ -81,10 +81,11 @@ def main(args):
 
             merged = merge_variables(
                 {"params": raw["params"],
-                 "batch_stats": raw["batch_stats"]},
+                 "batch_stats": raw.get("batch_stats") or {}},
                 cfg.model.n_layers)
-            restored = state.replace(params=merged["params"],
-                                     batch_stats=merged["batch_stats"])
+            restored = state.replace(
+                params=merged["params"],
+                batch_stats=merged.get("batch_stats", state.batch_stats))
             print("[car_eval] converted a --pp pipeline-layout checkpoint "
                   "to the plain model layout")
         if restored is None:

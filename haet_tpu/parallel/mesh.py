@@ -69,6 +69,7 @@ def shard_batch(tree, mesh: Mesh):
     caller already distributed across devices pass through untouched.
     """
     s = batch_sharding(mesh)
+    n_dp = int(mesh.shape.get("dp", 1))
     multiproc = jax.process_count() > 1
 
     def put(x):
@@ -77,6 +78,13 @@ def shard_batch(tree, mesh: Mesh):
         x = np.asarray(x)
         if multiproc:
             return jax.make_array_from_process_local_data(s, x)
+        if x.ndim and x.shape[0] % n_dp:
+            # uneven trailing batch (batch_iter drop_last=False): an exact
+            # P("dp") placement is impossible (device_put requires even
+            # shards), so fall back to replicated placement — numerically
+            # identical, just no dp speedup for this one batch. The
+            # pipelined model additionally pads such batches internally.
+            return jax.device_put(x, replicate(mesh))
         return jax.device_put(x, s)
 
     return jax.tree_util.tree_map(put, tree)

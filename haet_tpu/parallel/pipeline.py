@@ -114,8 +114,9 @@ def merge_variables(pvars, n_layers: int) -> dict:
     for i, b in enumerate(blocks):
         params[f"blocks_{i}"] = b
     out = {"params": params}
-    if "batch_stats" in pvars:
-        bls = _unstack(pvars["batch_stats"]["layers"], n_layers)
+    bs = pvars.get("batch_stats") or {}
+    if jax.tree_util.tree_leaves(bs):  # BN-free models store {} — skip
+        bls = _unstack(bs["layers"], n_layers)
         out["batch_stats"] = {
             f"blocks_{i}": b for i, b in enumerate(bls)}
     return out

@@ -51,8 +51,14 @@ def make_schedule(cfg: TrainConfig, total_steps: int):
         # step — silently NaN-ing the params (observed: total_steps=2,
         # pct_start=0.3). Stretch tiny horizons so both phases are >= 1
         # step; real runs (total_steps >> 1/pct_start) are unaffected.
+        # pct_start=1.0 (warmup-only) is a legal optax config; 0.0 is not
+        # (its zero-width first interval is the NaN divide whatever the
+        # horizon), so reject it with a config error instead.
         p = float(cfg.pct_start)
-        min_steps = int(np.ceil(max(1.0 / p, 1.0 / (1.0 - p))))
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"pct_start must be in (0, 1], got {p}")
+        min_steps = int(np.ceil(max(
+            1.0 / p, 1.0 / (1.0 - p) if p < 1 else 1.0)))
         return optax.cosine_onecycle_schedule(
             transition_steps=max(total_steps, min_steps),
             peak_value=cfg.lr,
@@ -229,6 +235,18 @@ class Trainer:
                 opt_sh = placer(jax.eval_shape(self.tx.init, params))
                 opt_state = jax.jit(
                     self.tx.init, out_shardings=opt_sh)(params)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return TrainState(
+                # everything above is already placed by out_shardings —
+                # only the fresh step scalar needs an explicit placement
+                step=jax.device_put(
+                    jnp.zeros((), jnp.int32),
+                    NamedSharding(self.mesh, PartitionSpec())),
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=opt_state,
+            )
         else:
             if self.mesh is not None:
                 with self.mesh:
@@ -275,10 +293,24 @@ class Trainer:
         try:
             restored = checkpointer.restore(template, which)
         except Exception as e:
+            # Diagnose before blaming: only claim a pp/non-pp layout
+            # mismatch when the checkpoint's actual tree confirms it —
+            # corrupt/partial checkpoints, orbax drift, and I/O failures
+            # must surface as themselves.
             is_pp = hasattr(self.model, "from_pipeline_variables")
+            raw_fn = getattr(checkpointer, "restore_raw", None)
+            raw = None
+            if raw_fn is not None:
+                try:
+                    raw = raw_fn(which)
+                except Exception:
+                    pass
+            if raw is None or (
+                    "layers" in (raw.get("params") or {})) == is_pp:
+                raise  # not a layout mismatch — original error stands
             raise RuntimeError(
-                "checkpoint tree does not match this run's state layout. "
-                "Most likely cause: a checkpoint written "
+                "checkpoint tree does not match this run's state layout: "
+                "a checkpoint written "
                 + ("without --pp cannot resume a --pp run"
                    if is_pp else
                    "by a --pp run cannot resume an unpipelined run")

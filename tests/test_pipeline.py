@@ -354,6 +354,46 @@ def test_pipeline_driver_glue(tmp_path, capsys):
     assert np.isfinite(rel)
 
 
+def test_trailing_partial_batch_through_trainer():
+    """The REAL trailing-batch path: batch_iter(drop_last=False) hands
+    Trainer.train_step a batch whose size doesn't divide dp.
+    shard_batch's replicated fallback + the pipeline's internal padding
+    must run it, for both the plain-dp and the pipelined model, matching
+    the meshless step's loss."""
+    from haet_tpu.train.trainer import Trainer
+    from haet_tpu.utils.config import TrainConfig
+
+    model = _model()
+    x, fx, y = _data(B=3)
+    batch = {"x": x, "fx": fx, "y": y}
+    loss_fn = lambda out, b: (  # noqa: E731
+        jnp.mean((out.astype(jnp.float32) - b["y"]) ** 2), {})
+    kw = dict(loss_fn=loss_fn,
+              cfg=TrainConfig(lr=1e-3, epochs=1, batch_size=4),
+              total_steps=4, batch_args=lambda b: (b["x"], b["fx"]))
+
+    t_ref = Trainer(model=model, **kw)
+    s_ref = t_ref.init_state(jax.random.PRNGKey(0), batch)
+    _, m_ref = t_ref.train_step(s_ref, batch, jax.random.PRNGKey(1))
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "pp"))
+    pm = PipelinedModel(model, mesh, num_microbatches=2, dp_axis="dp")
+    t_pp = Trainer(model=pm, mesh=mesh, **kw)
+    s_pp = t_pp.init_state(jax.random.PRNGKey(0), batch)
+    _, m_pp = t_pp.train_step(s_pp, batch, jax.random.PRNGKey(1))
+    # train-mode BN statistics are per-dp-shard under the pipeline
+    # (documented semantics) — the loss is close, not bitwise
+    assert np.isfinite(float(m_pp["loss"]))
+    assert abs(float(m_ref["loss"]) - float(m_pp["loss"])) < 0.05 * abs(
+        float(m_ref["loss"]))
+
+    from haet_tpu.parallel import make_mesh
+    t_dp = Trainer(model=model, mesh=make_mesh(n_dp=8, n_tp=1), **kw)
+    s_dp = t_dp.init_state(jax.random.PRNGKey(0), batch)
+    _, m_dp = t_dp.train_step(s_dp, batch, jax.random.PRNGKey(1))
+    assert abs(float(m_ref["loss"]) - float(m_dp["loss"])) < 1e-5
+
+
 def test_pipeline_checkpoint_eval_interchange(tmp_path):
     """A --pp run's checkpoint (pipeline layout) evaluates on the PLAIN
     model via restore_raw + merge_variables — the car_eval conversion
