@@ -193,13 +193,15 @@ def maybe_pipeline(model, mesh, args):
     return PipelinedModel(model, mesh, num_microbatches=mb, dp_axis="dp")
 
 
-def custom_loop_mesh(mesh):
+def custom_loop_mesh(mesh, model=None):
     """Shared scaffolding for the custom-loop drivers (exp_ns / exp_plas):
     returns ``(mesh_ctx, place, put_state)`` — trace/execute context, batch
     placement (dp-sharded, multi-process aware via
-    :func:`haet_tpu.parallel.mesh.shard_batch`), and state replication.
-    Keeping this in one place stops the two drivers drifting (they once
-    diverged on batch_stats handling)."""
+    :func:`haet_tpu.parallel.mesh.shard_batch`), and state placement
+    (replicated, or the model's ``state_sharding`` layout when it declares
+    one — the pipelined model's stage-sharded parameter stacks). Keeping
+    this in one place stops the two drivers drifting (they once diverged
+    on batch_stats handling)."""
     import contextlib
 
     mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
@@ -216,6 +218,9 @@ def custom_loop_mesh(mesh):
             return state
         import jax
 
+        placer = getattr(model, "state_sharding", None)
+        if placer is not None:
+            return jax.device_put(state, placer(state))
         from haet_tpu.parallel.mesh import replicate
 
         return jax.device_put(state, replicate(mesh))

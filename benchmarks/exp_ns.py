@@ -31,8 +31,6 @@ def main(args):
             "exp_ns: --accum_steps is not supported by this custom rollout "
             "loop (the per-step remat + lax.scan already bounds activation "
             "memory; use --use_checkpoint)")
-    if getattr(args, "pp", 1) > 1:
-        raise SystemExit("exp_ns: --pp is not supported by this custom rollout loop")
     mesh = make_mesh_from_args(cfg, args)
     data = load_ns(args.data_path, args.ntrain, args.ntest, T_IN, T_OUT)
     if data["synthetic"]:
@@ -44,7 +42,8 @@ def main(args):
     train = {k: v.astype(np.float32) for k, v in data["train"].items()}
     test = {k: v.astype(np.float32) for k, v in data["test"].items()}
 
-    model = cfg.model.build()
+    from _common import maybe_pipeline
+    model = maybe_pipeline(cfg.model.build(), mesh, args)
     rel_l2 = RelLpLoss(size_average=False)
     bs = cfg.train.batch_size
 
@@ -117,7 +116,7 @@ def main(args):
 
     # dp/tp sharding for the custom loop — shared scaffolding (_common)
     from _common import custom_loop_mesh
-    mesh_ctx, place, put_state = custom_loop_mesh(mesh)
+    mesh_ctx, place, put_state = custom_loop_mesh(mesh, model)
     state = put_state(state)
 
     @jax.jit

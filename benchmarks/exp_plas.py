@@ -36,8 +36,6 @@ def main(args):
         raise SystemExit(
             "exp_plas: --accum_steps is not supported by this custom "
             "time-query loop (use --use_checkpoint for memory)")
-    if getattr(args, "pp", 1) > 1:
-        raise SystemExit("exp_plas: --pp is not supported by this custom time-query loop")
     mesh = make_mesh_from_args(cfg, args)
     data = load_plasticity(args.data_path, args.ntrain, args.ntest)
     if data["synthetic"]:
@@ -54,7 +52,8 @@ def main(args):
     cfg.train.batch_size = min(cfg.train.batch_size, len(train["y"]),
                                len(test["y"]))
 
-    model = cfg.model.build()
+    from _common import maybe_pipeline
+    model = maybe_pipeline(cfg.model.build(), mesh, args)
     rel_l2 = RelLpLoss(size_average=False)
     bs = cfg.train.batch_size  # already clamped above
     ts = jnp.arange(t_steps, dtype=jnp.float32)
@@ -130,7 +129,7 @@ def main(args):
 
     # dp/tp sharding for the custom loop — shared scaffolding (_common)
     from _common import custom_loop_mesh
-    mesh_ctx, place, put_state = custom_loop_mesh(mesh)
+    mesh_ctx, place, put_state = custom_loop_mesh(mesh, model)
     state = put_state(state)
 
     @jax.jit

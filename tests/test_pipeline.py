@@ -394,6 +394,38 @@ def test_trailing_partial_batch_through_trainer():
     assert abs(float(m_ref["loss"]) - float(m_dp["loss"])) < 1e-5
 
 
+def test_pipeline_custom_loop_driver_plas(tmp_path, capsys):
+    """--pp through the CUSTOM-loop driver exp_plas: the pipelined apply
+    runs inside the train-mode lax.scan over T queries (BN stats carried)
+    AND under the eval vmap over T (vmap-of-shard_map), with Time_Input.
+    exp_ns shares the same custom_loop_mesh scaffolding."""
+    import argparse
+    import os
+    import sys
+
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks")
+    if bench not in sys.path:
+        sys.path.insert(0, bench)
+    import exp_plas
+    from _common import shrink_for_smoke
+
+    args = argparse.Namespace(
+        lr=1e-3, epochs=2, weight_decay=1e-5, batch_size=2, n_hidden=32,
+        n_layers=2, n_heads=4, slice_num=16, mlp_ratio=1, dropout=0.0,
+        max_grad_norm=None, accum_steps=1, unified_pos=0, ref=8, ntrain=8,
+        ntest=4, bf16=0, mu_bf16=0, use_checkpoint=0,
+        data_path=str(tmp_path / "absent"), out_dir=str(tmp_path),
+        save_name="plas", smoke=True, dp=2, tp=1, pp=2, pp_microbatches=1,
+    )
+    shrink_for_smoke(args)
+    args.n_layers = 2
+    rel = exp_plas.main(args)
+    out = capsys.readouterr().out
+    assert "[mesh] dp=2 pp=2" in out
+    assert np.isfinite(rel)
+
+
 def test_pipeline_checkpoint_eval_interchange(tmp_path):
     """A --pp run's checkpoint (pipeline layout) evaluates on the PLAIN
     model via restore_raw + merge_variables — the car_eval conversion
