@@ -70,3 +70,33 @@ state = trainer.init_state(jax.random.PRNGKey(0), make_batch())
 state = trainer.fit(state, lambda: (make_batch() for _ in range(4)))
 pred = trainer.predict(state, make_batch())
 print(f"sharded training + jitted predict OK; pred shape {pred.shape}")
+
+# --- pipeline parallelism (pp): GPipe over the block stack --------------
+# The L blocks become S stages on a (dp, pp) mesh: each stage's chips
+# store ONLY its layers' parameters and Adam moments (sharded from init),
+# microbatches stream stage-to-stage with lax.ppermute. The drivers
+# expose this as --pp/--pp_microbatches. parallel/pipeline.py for the
+# full design notes (bubble fraction, BN semantics, checkpoint layout).
+from haet_tpu.parallel import PipelinedModel, make_pp_mesh  # noqa: E402
+
+pp_mesh = make_pp_mesh(n_dp=2, n_pp=4)
+pp_cfg = ModelConfig(
+    variant="irregular", space_dim=3, fun_dim=1, out_dim=1,
+    n_layers=4, n_hidden=32, n_head=4, slice_num=16,
+)
+pm = PipelinedModel(pp_cfg.build(), pp_mesh, num_microbatches=2,
+                    dp_axis="dp")
+pp_trainer = Trainer(
+    model=pm,  # Trainer wiring is unchanged — the wrapper IS the model
+    loss_fn=lambda out, b: (jnp.mean((out - b["y"]) ** 2), {}),
+    cfg=TrainConfig(lr=1e-3, epochs=1, batch_size=8, schedule="constant"),
+    total_steps=4,
+    batch_args=lambda b: (b["x"], b["fx"]),
+    mesh=pp_mesh,
+)
+pp_state = pp_trainer.init_state(jax.random.PRNGKey(0), make_batch())
+layer_leaf = jax.tree_util.tree_leaves(pp_state.params["layers"])[0]
+print(f"pp: layer stacks sharded {layer_leaf.sharding.spec} "
+      f"({layer_leaf.shape[0]} layers over {pp_mesh.shape['pp']} stages)")
+pp_state = pp_trainer.fit(pp_state, lambda: (make_batch() for _ in range(2)))
+print("pipelined training OK")
