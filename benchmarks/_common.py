@@ -193,6 +193,34 @@ def maybe_pipeline(model, mesh, args):
     return PipelinedModel(model, mesh, num_microbatches=mb, dp_axis="dp")
 
 
+def init_custom_loop_state(model, tx, mesh, rng, *args):
+    """``(variables, opt_state)`` for the custom-loop drivers, sharded
+    from birth when the model declares ``state_sharding`` (mirrors
+    ``Trainer.init_state`` — a pipelined config whose params/optimizer
+    state exceed one chip must never materialize the full tree on one
+    device first)."""
+    import contextlib
+
+    import jax
+
+    placer = (getattr(model, "state_sharding", None)
+              if mesh is not None else None)
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+    with ctx:
+        # TP sharding constraints (and pipeline out_shardings) need the
+        # mesh at trace time
+        if placer is not None:
+            var_sh = placer(jax.eval_shape(model.init, rng, *args))
+            variables = jax.jit(model.init, out_shardings=var_sh)(rng, *args)
+            opt_sh = placer(jax.eval_shape(tx.init, variables["params"]))
+            opt_state = jax.jit(
+                tx.init, out_shardings=opt_sh)(variables["params"])
+        else:
+            variables = jax.jit(model.init)(rng, *args)
+            opt_state = tx.init(variables["params"])
+    return variables, opt_state
+
+
 def custom_loop_mesh(mesh, model=None):
     """Shared scaffolding for the custom-loop drivers (exp_ns / exp_plas):
     returns ``(mesh_ctx, place, put_state)`` — trace/execute context, batch

@@ -100,16 +100,14 @@ def main(args):
     tx = make_optimizer(cfg.train, steps * cfg.train.epochs)
 
     sample = {k: v[:bs] for k, v in train.items()}
-    import contextlib
-    with (mesh if mesh is not None else contextlib.nullcontext()):
-        # TP sharding constraints need the mesh at trace time
-        variables = jax.jit(model.init)(
-            jax.random.PRNGKey(cfg.train.seed), sample["pos"], sample["x"]
-        )
+    from _common import init_custom_loop_state
+    variables, opt_state = init_custom_loop_state(
+        model, tx, mesh, jax.random.PRNGKey(cfg.train.seed),
+        sample["pos"], sample["x"])
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],
         batch_stats=variables.get("batch_stats", FrozenDict()),
-        opt_state=tx.init(variables["params"]),
+        opt_state=opt_state,
     )
     n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
     print(f"Total Trainable Params: {n_params}")

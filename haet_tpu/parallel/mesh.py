@@ -77,7 +77,16 @@ def shard_batch(tree, mesh: Mesh):
             return x  # already globally placed by the caller
         x = np.asarray(x)
         if multiproc:
-            return jax.make_array_from_process_local_data(s, x)
+            try:
+                return jax.make_array_from_process_local_data(s, x)
+            except ValueError as e:
+                raise ValueError(
+                    "multihost shard_batch needs the global batch "
+                    "divisible by dp — the replicated fallback for "
+                    "trailing partial batches is single-process only "
+                    "(each process holds just its slice). Drop the "
+                    "trailing batch (drop_last) or pad it at the data "
+                    "layer.") from e
         if x.ndim and x.shape[0] % n_dp:
             # uneven trailing batch (batch_iter drop_last=False): an exact
             # P("dp") placement is impossible (device_put requires even

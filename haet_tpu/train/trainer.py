@@ -51,14 +51,15 @@ def make_schedule(cfg: TrainConfig, total_steps: int):
         # step — silently NaN-ing the params (observed: total_steps=2,
         # pct_start=0.3). Stretch tiny horizons so both phases are >= 1
         # step; real runs (total_steps >> 1/pct_start) are unaffected.
-        # pct_start=1.0 (warmup-only) is a legal optax config; 0.0 is not
-        # (its zero-width first interval is the NaN divide whatever the
-        # horizon), so reject it with a config error instead.
+        # Endpoints are rejected: 0.0's zero-width first interval is the
+        # NaN divide at any horizon, and 1.0 silently COLLAPSES in optax
+        # (the two boundary dict keys collide, the warmup entry is
+        # overwritten, and the run decays from peak/25 without ever
+        # reaching the configured lr).
         p = float(cfg.pct_start)
-        if not 0.0 < p <= 1.0:
-            raise ValueError(f"pct_start must be in (0, 1], got {p}")
-        min_steps = int(np.ceil(max(
-            1.0 / p, 1.0 / (1.0 - p) if p < 1 else 1.0)))
+        if not 0.0 < p < 1.0:
+            raise ValueError(f"pct_start must be in (0, 1), got {p}")
+        min_steps = int(np.ceil(max(1.0 / p, 1.0 / (1.0 - p))))
         return optax.cosine_onecycle_schedule(
             transition_steps=max(total_steps, min_steps),
             peak_value=cfg.lr,

@@ -194,6 +194,14 @@ def test_onecycle_finite_at_tiny_horizons():
             assert np.isfinite(lr) and 0.0 <= lr <= cfg.lr * 1.001, (
                 total_steps, step, lr)
 
+    # the endpoints are config errors: 0.0 is optax's NaN divide at any
+    # horizon, 1.0 silently collapses to decay-only at peak/25 (boundary
+    # dict-key collision inside optax)
+    for bad in (0.0, 1.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="pct_start"):
+            make_schedule(TrainConfig(lr=1e-3, schedule="onecycle",
+                                      pct_start=bad), 100)
+
 
 def test_cosine_annealing_matches_torch_per_batch_stepping():
     """schedule='cosine_annealing' reproduces the reference exp_elas LR
