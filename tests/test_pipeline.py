@@ -394,6 +394,43 @@ def test_trailing_partial_batch_through_trainer():
     assert abs(float(m_ref["loss"]) - float(m_dp["loss"])) < 1e-5
 
 
+def test_pipeline_composes_with_train_steps_scan():
+    """The K-steps-per-dispatch lax.scan (Trainer.train_steps) traces the
+    pipelined shard_map inside the scan body and matches sequential
+    train_step calls."""
+    from haet_tpu.train.trainer import Trainer
+    from haet_tpu.utils.config import TrainConfig
+
+    model = _model()
+    x, fx, y = _data(B=4)
+    loss_fn = lambda out, b: (  # noqa: E731
+        jnp.mean((out.astype(jnp.float32) - b["y"]) ** 2), {})
+    kw = dict(loss_fn=loss_fn,
+              cfg=TrainConfig(lr=1e-3, epochs=1, batch_size=4),
+              total_steps=4, batch_args=lambda b: (b["x"], b["fx"]))
+    mesh = make_pp_mesh(n_dp=2, n_pp=4)
+    K = 2
+    batches = [{"x": x, "fx": fx, "y": y} for _ in range(K)]
+
+    pm = PipelinedModel(model, mesh, num_microbatches=2, dp_axis="dp")
+    t1 = Trainer(model=pm, mesh=mesh, **kw)
+    s1 = t1.init_state(jax.random.PRNGKey(0), {"x": x, "fx": fx, "y": y})
+    rng = jax.random.PRNGKey(1)
+    s_scan, metrics = t1.train_steps(s1, batches, rng)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+    t2 = Trainer(model=pm, mesh=mesh, **kw)
+    s2 = t2.init_state(jax.random.PRNGKey(0), {"x": x, "fx": fx, "y": y})
+    r = rng
+    for i in range(K):
+        r, sub = jax.random.split(r)
+        s2, _ = t2.train_step(s2, {"x": x, "fx": fx, "y": y}, sub)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        jax.device_get(s_scan.params), jax.device_get(s2.params))
+    assert max(jax.tree_util.tree_leaves(d)) < 2e-5
+
+
 def test_pipeline_custom_loop_driver_plas(tmp_path, capsys):
     """--pp through the CUSTOM-loop driver exp_plas: the pipelined apply
     runs inside the train-mode lax.scan over T queries (BN stats carried)
