@@ -463,7 +463,50 @@ def test_pipeline_custom_loop_driver_plas(tmp_path, capsys):
     assert np.isfinite(rel)
 
 
-def test_pipeline_checkpoint_eval_interchange(tmp_path):
+def test_pipeline_train_then_plain_eval_export(tmp_path, capsys):
+    """The production story end to end: car_train --pp writes a
+    pipeline-layout checkpoint; car_eval (plain model) auto-converts it,
+    evaluates, and exports an AOT serving artifact from the converted
+    weights."""
+    import argparse
+    import os
+    import sys
+
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks")
+    if bench not in sys.path:
+        sys.path.insert(0, bench)
+    import car_eval
+    import car_train
+
+    out_dir = str(tmp_path / "runs")
+    targs = argparse.Namespace(
+        data_dir=str(tmp_path / "absent"), save_dir=None,
+        preprocessed=False, fold_id=0, epochs=2, lr=1e-3, weight=0.5,
+        n_hidden=32, n_layers=2, slice_num=16, bf16=0, out_dir=out_dir,
+        prefetch=0, dp=1, tp=1, pp=2, pp_microbatches=1, resume=False,
+        smoke=True,
+    )
+    metrics = car_train.main(targs)
+    out = capsys.readouterr().out
+    assert "[mesh] dp=1 pp=2" in out
+    assert np.isfinite(metrics["rel_l2_press"])
+
+    artifact = str(tmp_path / "artifact")
+    eargs = argparse.Namespace(
+        data_dir=str(tmp_path / "absent"), save_dir=None,
+        preprocessed=False, fold_id=0,
+        checkpoint_dir=os.path.join(out_dir, "checkpoints", "car"),
+        torch_checkpoint=None, which="best", n_hidden=32, n_layers=2,
+        slice_num=16, visualize=False, max_slice_figs=None, scatter=False,
+        save_preds=False, out_dir=out_dir, export_artifact=artifact,
+        smoke=True,
+    )
+    car_eval.main(eargs)
+    out = capsys.readouterr().out
+    assert "converted a --pp pipeline-layout checkpoint" in out
+    import glob
+    assert glob.glob(os.path.join(artifact, "b1_n*", "manifest.json"))
     """A --pp run's checkpoint (pipeline layout) evaluates on the PLAIN
     model via restore_raw + merge_variables — the car_eval conversion
     path."""
