@@ -45,6 +45,15 @@ Composition / scope (validated at construction):
 * batches whose size doesn't divide microbatches x dp (e.g. the trailing
   partial batch of an epoch) are transparently padded with wraparound
   copies and the pad rows sliced off the output.
+* the reference's BATCH-GLOBAL pseudo-position min-max
+  (``physics_attention.py``: ``feat.min/max`` over the flat ``[B*H*G]``
+  token batch, mirroring ``StructuredMesh2D.py:228-234``) is computed
+  per (microbatch x dp shard) inside the pipeline. The rescale is
+  monotone, so the median-split ball grouping is IDENTICAL; only the
+  ``pe_proj`` / distance-bias inputs shift, which perturbs outputs by a
+  variant-dependent epsilon at M>1 or dp>1 (measured: ~2e-5 irregular,
+  ~7e-3 structured-3D on random data; exact at M=1, dp=1). Same class
+  of approximation as microbatched BatchNorm.
 * bubble fraction is the usual ``(S-1)/(M+S-1)``: for HAET-scale models
   (1.76M params) pp is not a speed feature — it is the capacity axis for
   scaled-up configs whose parameters/optimizer state exceed one chip.

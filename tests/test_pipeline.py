@@ -183,6 +183,42 @@ def test_pipeline_time_input_and_unified_pos():
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
 
 
+def test_pipeline_eval_parity_structured_3d():
+    """The 3D structured variant (Conv3d tokenizer, ref^3 unified pos)
+    through the pipeline.
+
+    At M>1 the reference's BATCH-GLOBAL pseudo-position min-max
+    (physics_attention.py: feat.min/max over the flat [B*H*G] batch,
+    mirroring StructuredMesh2D.py:228-234) is computed per microbatch —
+    the rescale is monotone so the median-split ball grouping is
+    IDENTICAL, but pe_proj / distance-bias inputs shift, so M>1 parity
+    is approximate (variant-dependent; measured ~7e-3 here). At M=1,
+    dp=1 the pipeline is exact — assert both."""
+    from haet_tpu.models import HAETransolverStructuredMesh3D
+
+    model = HAETransolverStructuredMesh3D(
+        space_dim=3, fun_dim=1, out_dim=1, H=4, W=4, D=4, n_layers=4,
+        n_hidden=32, n_head=4, slice_num=16, mlp_ratio=1, rotate=45)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    fx = jnp.asarray(rng.randn(2, 64, 1).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    ref = model.apply(variables, x, fx)
+
+    mesh1 = make_pp_mesh(n_dp=1, n_pp=4, devices=jax.devices()[:4])
+    pm1 = PipelinedModel(model, mesh1, num_microbatches=1, dp_axis="dp")
+    pvars = pm1.to_pipeline_variables(variables)
+    with mesh1:
+        out1 = jax.jit(lambda v, a, b: pm1.apply(v, a, b))(pvars, x, fx)
+    assert float(jnp.max(jnp.abs(out1 - ref))) < 1e-4  # exact regime
+
+    mesh = make_pp_mesh(n_dp=2, n_pp=4)
+    pm = PipelinedModel(model, mesh, num_microbatches=2, dp_axis="dp")
+    with mesh:
+        out = jax.jit(lambda v, a, b: pm.apply(v, a, b))(pvars, x, fx)
+    assert float(jnp.max(jnp.abs(out - ref))) < 5e-2  # microbatched min-max
+
+
 def test_pipeline_trainer_integration():
     """Trainer(model=PipelinedModel(...)) trains end to end; the per-layer
     parameter stacks and their Adam moments are ACTUALLY sharded over pp."""
