@@ -391,11 +391,13 @@ class Trainer:
         ``batch_size/accum`` while the caller sees the mean gradient of
         the full batch — for a mean-reduced loss this is exactly the
         full-batch gradient, so ``accum_steps=A`` at batch B matches a
-        plain step at batch B (BatchNorm excepted: train-mode BN
-        normalizes within each microbatch, so on BN-bearing models both
-        the gradients and the running statistics take
-        sequential-small-batch semantics; stats chain through the scan
-        in order)."""
+        plain step at batch B (batch-coupled forward ops excepted:
+        train-mode BatchNorm normalizes within each microbatch — stats
+        chain through the scan in order — and the HAET models' batch-
+        global pseudo-position min-max (physics_attention.py) is computed
+        per microbatch, a monotone rescale that leaves ball grouping
+        identical and perturbs outputs by a variant-dependent epsilon;
+        both take sequential-small-batch semantics)."""
 
         def split(x):
             if x.shape[0] % accum:
