@@ -208,6 +208,7 @@ def main(args):
     if "rho_d" in metrics:
         print("rho_d:", metrics["rho_d"], "c_d:", metrics["cd_rel_err"])
     print("time:", metrics["time_per_sample"])
+    logger.close()
     return metrics
 
 

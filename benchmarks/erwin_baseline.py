@@ -111,6 +111,7 @@ def main(args):
     metrics = evaluate(trainer, state, val_s, coef, logger)
     print("relative l2 error press:", metrics["rel_l2_press"])
     print("relative l2 error velo:", metrics["rel_l2_velo"])
+    logger.close()
     return metrics
 
 

@@ -111,6 +111,7 @@ def main(args):
     from _common import weighted_eval
     rel = weighted_eval(trainer, state, test, bs)
     print(f"rel_err:{rel}")
+    logger.close()
     return rel
 
 

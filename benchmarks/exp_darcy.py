@@ -152,6 +152,7 @@ def main(args):
         out_dir = os.path.join(args.out_dir, "results", "darcy")
         plot_prediction_triptych(pred, batch["y"][0], s, s, out_dir, 1)
         print(f"showcase renders -> {out_dir}")
+    logger.close()
     return rel
 
 

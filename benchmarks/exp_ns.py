@@ -173,6 +173,7 @@ def main(args):
             n += k
         rel = tot / max(n, 1)
     print(f"rel_err:{rel}")
+    logger.close()
     return rel
 
 

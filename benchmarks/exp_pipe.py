@@ -76,6 +76,7 @@ def run(args, prefix="Pipe", h=129, w=129, config_fn=pipe_config,
     from _common import weighted_eval
     rel = weighted_eval(trainer, state, test, bs)
     print(f"rel_err:{rel}")
+    logger.close()
     return rel
 
 

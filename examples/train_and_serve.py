@@ -86,6 +86,7 @@ restored = ckpt.restore(template, "best")
 assert restored is not None
 print("restored best checkpoint; continuing training works:")
 state = trainer.fit(restored, train_batches, epochs=cfg.epochs)
+logger.close()
 
 # ---------------------------------------------------------------- export
 from haet_tpu.export import ServingBundle, save_artifact  # noqa: E402

@@ -100,6 +100,13 @@ def _input_shapes(example_args) -> list[list[int]]:
     return [list(np.shape(a)) for a in example_args if a is not None]
 
 
+def _input_dtypes(example_args) -> list[str]:
+    # the array's ACTUAL dtype (jnp.result_type would canonicalize f64 ->
+    # f32 under the default x64-disabled config and mask a mismatch)
+    return [np.dtype(getattr(a, "dtype", None) or np.asarray(a).dtype).name
+            for a in example_args if a is not None]
+
+
 def save_artifact(
     path: str,
     model,
@@ -124,6 +131,7 @@ def save_artifact(
         f.write(blob)
     manifest = {
         "input_shapes": _input_shapes(example_args),
+        "input_dtypes": _input_dtypes(example_args),
         "platforms": list(exported.platforms),
         "model": repr(model),
         "n_arrays_variables": len(jax.tree_util.tree_leaves(variables)),
@@ -159,6 +167,18 @@ class ExportedModel:
                 "size is part of the program (module docstring); export an "
                 "artifact per serving signature (ServingBundle)."
             )
+        # dtype too: an f64 (or int) input to an f32 program would bypass
+        # the friendly error and surface as an opaque XLA destination-
+        # passing failure. Old artifacts without the manifest field skip.
+        want_dt = self.manifest.get("input_dtypes")
+        if want_dt is not None:
+            got_dt = _input_dtypes(args)
+            if got_dt != want_dt:
+                raise ValueError(
+                    f"dtype mismatch: artifact was exported for input "
+                    f"dtypes {want_dt}, got {got_dt}. Cast the inputs "
+                    "explicitly (no implicit casts at the serving "
+                    "boundary).")
 
     def __call__(self, variables, *args):
         args = tuple(a for a in args if a is not None)

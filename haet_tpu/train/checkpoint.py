@@ -71,6 +71,60 @@ class Checkpointer:
     def _meta_path(self) -> str:
         return os.path.join(self.directory, "best_meta.json")
 
+    # -- epoch sidecar ------------------------------------------------------
+    # The epoch number is STORED with each checkpoint (reference saves it in
+    # the state dict, train.py:250-259) instead of being derived from
+    # step//steps_per_epoch — with drop_last=False trailing batches,
+    # steps-per-epoch is not constant and a derived epoch can drift,
+    # shifting checkpoint_every/eval_every phase after a resume. Kept in a
+    # sidecar json (the orbax tree stays pure device state); each entry
+    # records the state's step too, so a crash between an async save and
+    # the sidecar write is DETECTED at restore (step mismatch -> the caller
+    # falls back to derivation) rather than silently mis-numbering.
+    @property
+    def _epochs_path(self) -> str:
+        return os.path.join(self.directory, "epochs.json")
+
+    def _read_epochs(self) -> dict:
+        try:
+            with open(self._epochs_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            return {}
+
+    def _record_epoch(self, name: str, epoch: int, state) -> None:
+        rec = self._read_epochs()
+        # non-TrainState trees (plain dict states are accepted by save_*)
+        # carry no step; their entry is stored step-less and epoch_of with
+        # step validation treats it as unknown (conservative)
+        step = getattr(state, "step", None)
+        rec[name] = {"epoch": int(epoch),
+                     "step": int(step) if step is not None else None}
+        tmp = self._epochs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, self._epochs_path)
+
+    def epoch_of(self, name: str, step: int | None = None):
+        """Epoch recorded for checkpoint ``name`` (after ``_resolve``-style
+        aliasing), or None if unknown. When ``step`` is given, the sidecar
+        entry must match the restored state's step — a mismatched entry
+        (crash between save and sidecar write, or a foreign sidecar) is
+        treated as unknown."""
+        if name == "latest_periodic":
+            epochs = self.periodic_epochs()
+            if not epochs:
+                return None
+            name = f"epoch_{epochs[-1]}"
+        ent = self._read_epochs().get(name)
+        if ent is None:
+            return None
+        if step is not None:
+            stored = ent.get("step")
+            if stored is None or int(stored) != int(step):
+                return None
+        return int(ent["epoch"])
+
     def _read_meta(self):
         try:
             with open(self._meta_path) as f:
@@ -101,14 +155,20 @@ class Checkpointer:
             # only), so the synchronous wait is cheap.
             self._ckpt.wait_until_finished()
             self._write_meta()
+            self._record_epoch("best", epoch, state)
 
     def save_last(self, state, epoch: int):
         self._save("last", state)
+        # Written WITHOUT waiting for the async save (last is per-epoch;
+        # a wait would serialize save with the next epoch's compute) —
+        # the step recorded alongside makes a crash-torn pair detectable.
+        self._record_epoch("last", epoch, state)
 
     def save_periodic(self, state, epoch: int):
         """Save ``epoch_{N}`` and prune to the ``keep`` most recent
         (reference periodic policy, ``exp_darcy.py:259-263``)."""
         self._save(f"epoch_{epoch}", state)
+        self._record_epoch(f"epoch_{epoch}", epoch, state)
         self._ckpt.wait_until_finished()  # prune only fully-written dirs
         epochs = self.periodic_epochs()
         n_prune = max(0, len(epochs) - self.keep) if self.keep > 0 else 0
@@ -162,10 +222,24 @@ class Checkpointer:
             restore_args = jax.tree_util.tree_map(
                 lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
             return pt.restore(path, restore_args=restore_args)
-        except Exception:
-            # fallback: let orbax pick (reads sharding info from the file;
-            # fine on the same topology)
-            raw = pt.restore(path)
+        except Exception as meta_err:
+            # Classify before falling back: a missing/corrupt checkpoint
+            # must surface as itself, not as a mysterious topology
+            # difference. Only the metadata-driven path is retried with
+            # orbax's own defaults (which read sharding info from the file
+            # — fine on the same topology); if THAT fails too, raise an
+            # error naming both causes.
+            print(f"[Checkpointer] metadata-driven raw restore of {path} "
+                  f"failed ({type(meta_err).__name__}: {meta_err}); "
+                  "retrying with orbax-default restore")
+            try:
+                raw = pt.restore(path)
+            except Exception as raw_err:
+                raise RuntimeError(
+                    f"checkpoint at {path} could not be read at all — "
+                    "likely corrupt or partially written. Metadata "
+                    f"restore failed with: {meta_err!r}; default restore "
+                    f"failed with: {raw_err!r}") from raw_err
             return jax.tree_util.tree_map(np.asarray, raw)
 
     def wait(self):

@@ -10,8 +10,15 @@ engine covers all benchmarks:
 * data parallelism by construction: batches are placed with a ``dp``
   sharding, parameters replicated; XLA inserts the gradient ``psum``
   (SURVEY.md §2.7 — the reference has no distributed path at all);
-* OneCycle == ``optax.cosine_onecycle_schedule`` (torch's default
-  cos-anneal strategy with the same div factors);
+* OneCycle is a torch-EXACT closed form of
+  ``torch.optim.lr_scheduler.OneCycleLR`` (cos anneal, three_phase=False),
+  including the default ``cycle_momentum=True`` behavior: torch cycles
+  Adam's beta1 between ``max_momentum`` (0.95) and ``base_momentum``
+  (0.85) along the same phases, so the reference's Adam/AdamW runs train
+  with a *scheduled* beta1 — reproduced here via
+  ``optax.inject_hyperparams`` (value-parity tests:
+  ``tests/test_train.py::test_onecycle_matches_torch`` and the K-step
+  ``test_trajectory_parity_vs_torch``);
 * checkpointing via orbax with true mid-training resume (the reference can
   only load for eval, ``exp_darcy.py:147``);
 * early stopping with patience (reference ``train.py:21-46``).
@@ -42,31 +49,80 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def _onecycle_phased(total_steps: int, v_start: float, v_peak: float,
+                     v_end: float, pct_start: float):
+    """torch ``OneCycleLR`` (``anneal_strategy='cos'``,
+    ``three_phase=False``) as a closed-form ``step -> value`` callable,
+    bit-matching torch's phase geometry: phase boundaries at
+    ``float(pct_start*T) - 1`` and ``T - 1``, cosine interpolation
+    ``end + (start-end)/2 * (cos(pi*pct) + 1)`` — torch
+    ``lr_scheduler.py::OneCycleLR._schedule_phases`` / ``_annealing_cos``.
+    Used for both the LR cycle (start->peak->end) and torch's
+    ``cycle_momentum`` beta1 cycle (max->base->max)."""
+    warm_end = pct_start * total_steps - 1.0
+    total_end = float(total_steps - 1)
+    assert warm_end > 0.0, "caller must stretch tiny horizons first"
+
+    def sched(step):
+        # torch raises past total_steps; clamp instead so a stray extra
+        # step (e.g. a final eval probing sched(T)) stays finite.
+        s = jnp.minimum(jnp.asarray(step, jnp.float32),
+                        float(total_steps))
+        pct1 = s / warm_end
+        # torch does NOT clamp pct in phase 2 (step_num == total_steps
+        # gives pct > 1 and a value slightly past v_end) — keep that.
+        pct2 = (s - warm_end) / (total_end - warm_end)
+
+        def interp(a, b, pct):
+            # == b + (a-b)/2 * (cos(pi*pct)+1) (torch _annealing_cos), via
+            # the half-angle identity: the direct form catastrophically
+            # cancels in f32 near pct=1 where the value approaches b
+            # (measured 3e-4 relative error at the OneCycle tail; this
+            # form stays < 2e-6 of torch's f64 values).
+            c = jnp.cos(jnp.pi * 0.5 * pct)
+            return b + (a - b) * c * c
+
+        return jnp.where(s <= warm_end, interp(v_start, v_peak, pct1),
+                         interp(v_peak, v_end, pct2))
+
+    return sched
+
+
+def _onecycle_horizon(cfg: TrainConfig, total_steps: int) -> int:
+    """The (possibly stretched) OneCycle horizon. torch's first phase
+    boundary is ``pct_start*T - 1``; when that is <= 0 (tiny T) the
+    interpolation divides by a non-positive span, so the horizon is
+    stretched to the smallest T with a positive warmup phase. Real runs
+    (T >> 1/pct_start) are unaffected; a stretch is warned loudly because
+    the run then ends mid-decay at an elevated LR."""
+    p = float(cfg.pct_start)
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"pct_start must be in (0, 1), got {p}")
+    if p * total_steps > 1.0:
+        return total_steps
+    import warnings
+
+    stretched = int(np.floor(1.0 / p)) + 1
+    while p * stretched <= 1.0:  # guard float rounding at e.g. p=0.5
+        stretched += 1
+    warnings.warn(
+        f"onecycle horizon stretched from {total_steps} to {stretched} "
+        f"steps (pct_start={p} needs pct_start*total_steps > 1): the run "
+        "will end mid-decay at an elevated LR. Use more steps or a larger "
+        "pct_start if this is a real training run.", stacklevel=3)
+    return stretched
+
+
 def make_schedule(cfg: TrainConfig, total_steps: int):
     """The learning-rate schedule as a ``step -> lr`` callable."""
     if cfg.schedule == "onecycle":
-        # optax's cosine_onecycle builds piecewise boundaries at
-        # pct_start*transition_steps; a horizon short enough to round a
-        # phase to zero steps divides by zero and returns NaN LR for EVERY
-        # step — silently NaN-ing the params (observed: total_steps=2,
-        # pct_start=0.3). Stretch tiny horizons so both phases are >= 1
-        # step; real runs (total_steps >> 1/pct_start) are unaffected.
-        # Endpoints are rejected: 0.0's zero-width first interval is the
-        # NaN divide at any horizon, and 1.0 silently COLLAPSES in optax
-        # (the two boundary dict keys collide, the warmup entry is
-        # overwritten, and the run decays from peak/25 without ever
-        # reaching the configured lr).
-        p = float(cfg.pct_start)
-        if not 0.0 < p < 1.0:
-            raise ValueError(f"pct_start must be in (0, 1), got {p}")
-        min_steps = int(np.ceil(max(1.0 / p, 1.0 / (1.0 - p))))
-        return optax.cosine_onecycle_schedule(
-            transition_steps=max(total_steps, min_steps),
-            peak_value=cfg.lr,
-            pct_start=cfg.pct_start,
-            div_factor=25.0,
-            final_div_factor=1e4,
-        )
+        horizon = _onecycle_horizon(cfg, total_steps)
+        # torch-exact OneCycleLR (reference exp_darcy.py:138-139 defaults;
+        # the car run passes final_div_factor=1000, train.py:211-216):
+        # initial_lr = max_lr/div_factor, min_lr = initial_lr/final_div.
+        v0 = cfg.lr / cfg.div_factor
+        return _onecycle_phased(horizon, v0, cfg.lr,
+                                v0 / cfg.final_div_factor, cfg.pct_start)
     if cfg.schedule == "cosine_annealing":
         # torch CosineAnnealingLR closed form, eta_min=0:
         #   lr(t) = lr * (1 + cos(pi * t / T_max)) / 2
@@ -87,8 +143,39 @@ def make_schedule(cfg: TrainConfig, total_steps: int):
     raise ValueError(f"unknown schedule {cfg.schedule!r}")
 
 
+def weight_decay_mask(params):
+    """True for every leaf AdamW should decay — all except ``sigma_att``.
+
+    In the reference, ``sigma_att`` is only ever used under
+    ``@torch.no_grad`` (``attention.py:27-33``), so its ``.grad`` stays
+    ``None`` and ``torch.optim`` SKIPS the parameter entirely: no moment
+    update and, crucially, no decoupled weight decay. An unmasked
+    ``optax.adamw`` would instead decay it toward zero over a long run —
+    silently shrinking a parameter whose *value* still shapes the forward
+    pass (the distance bias). Masking the decay reproduces torch exactly:
+    with an exactly-zero gradient (the stop_gradient boundary, pinned in
+    ``tests/test_full_model_oracle.py``), Adam's moments stay zero and the
+    remaining update is identically zero on both sides."""
+    def keep(path, _):
+        name = getattr(path[-1], "key", getattr(path[-1], "name", None))
+        return name != "sigma_att"
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
 def make_optimizer(cfg: TrainConfig, total_steps: int):
-    """AdamW/Adam + OneCycle (reference ``exp_darcy.py:132-139``).
+    """AdamW/Adam + OneCycle (reference ``exp_darcy.py:132-139``,
+    ``train.py:210-216``).
+
+    Torch-parity details beyond the LR schedule:
+
+    * ``cycle_momentum`` (torch OneCycleLR's default True): beta1 is
+      cycled ``max_momentum -> base_momentum -> max_momentum`` along the
+      LR phases (torch sets ``group['betas']`` as a side effect of
+      ``scheduler.step()``). Implemented with ``optax.inject_hyperparams``
+      so ``b1`` is a schedule; bias correction uses the current beta1 each
+      step, exactly like torch.
+    * weight decay skips ``sigma_att`` (see :func:`weight_decay_mask`).
 
     ``cfg.mu_bf16`` stores Adam's first moment in bfloat16 (optax
     ``mu_dtype``) — a TPU HBM lever worth ~2 bytes/param of optimizer
@@ -97,13 +184,30 @@ def make_optimizer(cfg: TrainConfig, total_steps: int):
     where bf16's 8 mantissa bits cost noise far below gradient noise.
     """
     sched = make_schedule(cfg, total_steps)
+    cycled = cfg.schedule == "onecycle" and cfg.cycle_momentum
+    if cycled:
+        horizon = _onecycle_horizon(cfg, total_steps)
+        b1 = _onecycle_phased(horizon, cfg.max_momentum, cfg.base_momentum,
+                              cfg.max_momentum, cfg.pct_start)
 
     mu_dtype = jnp.bfloat16 if cfg.mu_bf16 else None
     if cfg.optimizer == "adamw":
-        tx = optax.adamw(sched, weight_decay=cfg.weight_decay,
-                         mu_dtype=mu_dtype)
+        if cycled:
+            tx = optax.inject_hyperparams(
+                optax.adamw, static_args=("mu_dtype", "mask"))(
+                learning_rate=sched, b1=b1,
+                weight_decay=cfg.weight_decay, mu_dtype=mu_dtype,
+                mask=weight_decay_mask)
+        else:
+            tx = optax.adamw(sched, weight_decay=cfg.weight_decay,
+                             mu_dtype=mu_dtype, mask=weight_decay_mask)
     elif cfg.optimizer == "adam":
-        tx = optax.adam(sched, mu_dtype=mu_dtype)
+        if cycled:
+            tx = optax.inject_hyperparams(
+                optax.adam, static_args=("mu_dtype",))(
+                learning_rate=sched, b1=b1, mu_dtype=mu_dtype)
+        else:
+            tx = optax.adam(sched, mu_dtype=mu_dtype)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
@@ -172,6 +276,35 @@ class MetricsLogger:
                 for k, v in rec.items() if k != "_time"
             )
             print(msg, flush=True)
+
+    def close(self):
+        """Flush and release the JSONL handle and finish the wandb run.
+        Idempotent. Long-lived processes (sweeps, notebooks) that create
+        many loggers must close them — one-shot drivers get it via the
+        context-manager form ``with MetricsLogger(...) as logger:``."""
+        if self._f is not None:
+            try:
+                self._f.close()
+            finally:
+                self._f = None
+        if self._wandb is not None:
+            try:
+                self._wandb.finish()
+            finally:
+                self._wandb = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 @dataclass
@@ -290,7 +423,14 @@ class Trainer:
         # (fresh runs into the same directory start at inf instead).
         if hasattr(checkpointer, "rearm_best"):
             checkpointer.rearm_best()
-        template = jax.tree_util.tree_map(np.asarray, state)
+        # ABSTRACT template (shape/dtype only): materializing the live
+        # state to numpy would gather every leaf to this host — with
+        # --multihost --pp the stage-sharded layer stacks are not fully
+        # addressable per process and the gather crashes before restore
+        # is even attempted.
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.result_type(x)), state)
         try:
             restored = checkpointer.restore(template, which)
         except Exception as e:
@@ -320,8 +460,18 @@ class Trainer:
                 "which auto-converts pipeline-layout checkpoints."
             ) from e
         if restored is None:
+            self._resume_epoch = None
             return state
-        print(f"[Trainer] resumed from step {int(restored.step)}")
+        # Stored epoch (validated against the restored step — a crash-torn
+        # sidecar is ignored); fit() resumes the epoch count from it
+        # instead of deriving step//steps_per_epoch, which drifts when
+        # drop_last=False trailing batches make steps-per-epoch uneven.
+        epoch_of = getattr(checkpointer, "epoch_of", None)
+        self._resume_epoch = (
+            epoch_of(which, int(restored.step)) if epoch_of else None)
+        print(f"[Trainer] resumed from step {int(restored.step)}"
+              + (f" (epoch {self._resume_epoch})"
+                 if self._resume_epoch is not None else ""))
         if self.mesh is not None:
             restored = self._place_state(restored)
         return restored
@@ -568,9 +718,19 @@ class Trainer:
                           self.cfg.early_stop_min_delta)
             if self.cfg.early_stop_patience else None
         )
-        start_epoch = int(state.step) // max(
-            1, self.total_steps // max(epochs, 1)
-        )
+        resume_epoch = getattr(self, "_resume_epoch", None)
+        if int(state.step) == 0:
+            start_epoch = 0
+        elif resume_epoch is not None:
+            # stored with the checkpoint (save_last records the epoch it
+            # completed); exact even with drop_last=False uneven epochs
+            start_epoch = resume_epoch + 1
+        else:
+            # legacy fallback (pre-epoch-sidecar checkpoints): derive from
+            # the nominal steps-per-epoch
+            start_epoch = int(state.step) // max(
+                1, self.total_steps // max(epochs, 1)
+            )
         from ..utils.profiling import StepTimer, device_memory_mb, host_rss_mb
 
         for epoch in range(start_epoch, epochs):

@@ -106,6 +106,19 @@ class TrainConfig:
     max_grad_norm: Optional[float] = None
     schedule: str = "onecycle"  # onecycle | cosine_annealing | constant
     pct_start: float = 0.3
+    # torch OneCycleLR div factors: initial_lr = lr/div_factor,
+    # min_lr = initial_lr/final_div_factor. Defaults are torch's (the PDE
+    # drivers use them, exp_darcy.py:138); the car run passes
+    # final_div_factor=1000 (train.py:211-216).
+    div_factor: float = 25.0
+    final_div_factor: float = 1e4
+    # torch OneCycleLR default cycle_momentum=True: Adam's beta1 is cycled
+    # max_momentum -> base_momentum -> max_momentum along the LR phases.
+    # The reference trains with this ON (it never passes
+    # cycle_momentum=False), so it is the parity default here too.
+    cycle_momentum: bool = True
+    base_momentum: float = 0.85
+    max_momentum: float = 0.95
     # cosine_annealing only: half-period in optimizer steps (torch
     # CosineAnnealingLR T_max). None -> the run's total step count.
     # The reference's exp_elas steps a T_max=epochs scheduler per batch
@@ -262,7 +275,10 @@ def shapenet_car_config() -> ExperimentConfig:
             erwin_mlp_ratio=4, embed=True, rotate=45,
         ),
         train=TrainConfig(
-            lr=1e-3, weight_decay=1e-5, epochs=200, batch_size=1,
+            # train.py:210-216: plain Adam (not AdamW) + OneCycleLR with
+            # final_div_factor=1000 and the other torch defaults.
+            lr=1e-3, optimizer="adam", final_div_factor=1000.0,
+            epochs=200, batch_size=1,
             max_grad_norm=1.0, early_stop_patience=7,
         ),
     )
