@@ -129,22 +129,26 @@ def make_mesh_from_args(cfg, args):
     # opted into explicitly because it needs batch_size % dp == 0.
     n_dp = getattr(args, "dp", 0) or 1
     if n_pp > 1:
-        # Pipeline mesh: (dp, pp). Head-TP's sharding constraints cannot
-        # nest inside the pipeline's shard_map body, so --tp is rejected.
-        if n_tp > 1:
-            raise SystemExit("--pp cannot combine with --tp (head-TP "
-                             "constraints cannot nest inside the pipeline)")
+        # Pipeline mesh: (dp, pp) — or (dp, pp, tp) with --tp: the
+        # pipeline body is manual over (pp, dp) only, head-TP constraints
+        # stay XLA-automatic over tp (parallel/pipeline.py composition
+        # note).
         if cfg.model.n_layers % n_pp:
             raise SystemExit(
                 f"--pp {n_pp} must divide n_layers ({cfg.model.n_layers})")
-        if n_dp * n_pp > len(jax.devices()):
+        if n_tp > 1 and cfg.model.n_head % n_tp:
             raise SystemExit(
-                f"--dp {n_dp} x --pp {n_pp} needs {n_dp * n_pp} devices, "
-                f"have {len(jax.devices())}")
+                f"--tp {n_tp} must divide n_heads ({cfg.model.n_head})")
+        if n_dp * n_pp * n_tp > len(jax.devices()):
+            raise SystemExit(
+                f"--dp {n_dp} x --pp {n_pp} x --tp {n_tp} needs "
+                f"{n_dp * n_pp * n_tp} devices, have {len(jax.devices())}")
         from haet_tpu.parallel import make_pp_mesh
 
-        mesh = make_pp_mesh(n_dp=n_dp, n_pp=n_pp,
-                            devices=jax.devices()[: n_dp * n_pp])
+        mesh = make_pp_mesh(n_dp=n_dp, n_pp=n_pp, n_tp=n_tp,
+                            devices=jax.devices()[: n_dp * n_pp * n_tp])
+        if n_tp > 1:
+            cfg.model.shard_axes = ("dp", "tp")
         mb = getattr(args, "pp_microbatches", 0) or n_pp
         if cfg.train.batch_size % (mb * n_dp):
             # not fatal — uneven batches fall back to replicated placement
@@ -154,8 +158,8 @@ def make_mesh_from_args(cfg, args):
             print(f"[mesh] note: batch size {cfg.train.batch_size} is not "
                   f"divisible by pp_microbatches x dp ({mb} x {n_dp}); "
                   "every step will pad + replicate (wasted compute)")
-        print(f"[mesh] dp={n_dp} pp={n_pp} microbatches={mb} "
-              f"({n_dp * n_pp} devices)")
+        print(f"[mesh] dp={n_dp} pp={n_pp} tp={n_tp} microbatches={mb} "
+              f"({n_dp * n_pp * n_tp} devices)")
         return mesh
     if n_dp * n_tp > len(jax.devices()):
         raise SystemExit(

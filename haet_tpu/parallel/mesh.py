@@ -32,15 +32,22 @@ def make_mesh(n_dp: int | None = None, n_tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
-def make_pp_mesh(n_dp: int = 1, n_pp: int = 1, devices=None) -> Mesh:
-    """Create a ``(dp, pp)`` mesh for pipeline parallelism
-    (:class:`haet_tpu.parallel.pipeline.PipelinedModel`). Stages should map
-    to ICI neighbours: the pp axis is the fastest-varying one, so
-    consecutive stages land on consecutive devices."""
+def make_pp_mesh(n_dp: int = 1, n_pp: int = 1, devices=None,
+                 n_tp: int = 1) -> Mesh:
+    """Create a ``(dp, pp)`` — or, with ``n_tp > 1``, ``(dp, pp, tp)`` —
+    mesh for pipeline parallelism
+    (:class:`haet_tpu.parallel.pipeline.PipelinedModel`). tp is the
+    fastest-varying axis (head-TP's all-gather at the head-merge projection
+    is the chattiest collective, so its shards should be ICI neighbours);
+    pp next, so a stage's ppermute hop crosses at most one tp-group."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    if n_dp * n_pp != n:
-        raise ValueError(f"dp({n_dp}) * pp({n_pp}) != device count ({n})")
+    if n_dp * n_pp * n_tp != n:
+        raise ValueError(
+            f"dp({n_dp}) * pp({n_pp}) * tp({n_tp}) != device count ({n})")
+    if n_tp > 1:
+        arr = np.asarray(devices).reshape(n_dp, n_pp, n_tp)
+        return Mesh(arr, axis_names=("dp", "pp", "tp"))
     arr = np.asarray(devices).reshape(n_dp, n_pp)
     return Mesh(arr, axis_names=("dp", "pp"))
 

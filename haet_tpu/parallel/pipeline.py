@@ -27,10 +27,18 @@ Composition / scope (validated at construction):
   batch dim of every microbatch is sharded over dp while stages run over
   pp. Layout note: microbatches are *strided* subsets of the batch
   (``[B] -> [B/M, M]`` keeps a dp-sharded batch axis local, no resharding).
-* head-TP (``shard_axes``) and the fused Pallas kernels are per-model
-  ``shard_map``/constraint mechanisms that cannot nest inside the pipeline
-  body — constructing a :class:`PipelinedModel` over a model with either
-  enabled raises.
+* composes with **head-TP**: wrap a model built with
+  ``shard_axes=("dp", "tp")`` (or ``(None, "tp")``) and use a
+  ``(dp, pp, tp)`` mesh (``make_pp_mesh(n_tp=...)``) — the pipeline body
+  is manual over (pp, dp) only (``jax.shard_map`` ``axis_names``), so the
+  model's head-axis sharding constraints stay in XLA-automatic mode inside
+  each stage and the partitioner splits the per-head slice->Erwin->deslice
+  work over tp with the same collectives as the unpipelined TP path
+  (numerics parity pinned in ``tests/test_pipeline.py``). The batch
+  component of ``shard_axes`` is dropped inside the body (the pipeline
+  shards the batch itself).
+* the fused Pallas kernels are their own ``shard_map`` wrapping and cannot
+  nest inside the pipeline body — ``use_pallas`` raises.
 * train-mode BatchNorm takes sequential-microbatch semantics (stats chain
   across a stage's microbatches in order) — the same documented semantics
   as gradient accumulation (``train/trainer.py:_accum_grads``); with
@@ -153,17 +161,45 @@ class PipelinedModel:
             raise ValueError(f"mesh has no {pp_axis!r} axis: {mesh.shape}")
         if dp_axis is not None and dp_axis not in mesh.shape:
             raise ValueError(f"mesh has no {dp_axis!r} axis: {mesh.shape}")
-        if getattr(model, "shard_axes", None) is not None:
-            raise ValueError(
-                "PipelinedModel cannot wrap a model with head-TP "
-                "shard_axes: sharding constraints cannot apply inside the "
-                "pipeline's shard_map body. Use pp x dp (drop shard_axes).")
         if getattr(model, "use_pallas", False) or getattr(
                 model, "use_pallas_erwin", False):
             raise ValueError(
                 "PipelinedModel requires use_pallas=False / "
                 "use_pallas_erwin=False: the fused kernels' own shard_map "
                 "wrapping cannot nest inside the pipeline body.")
+        # head-TP composition: the pipeline body is MANUAL over (pp, dp)
+        # but leaves every other mesh axis AUTOMATIC (jax.shard_map
+        # axis_names), so the model's with_sharding_constraint calls over
+        # the tp axis resolve inside the stage body and XLA partitions the
+        # per-head work + inserts the head-merge all-gather exactly as in
+        # the unpipelined TP path. The batch component of shard_axes is
+        # dropped: the pipeline shards the batch itself (dp is manual
+        # here; a dp constraint inside the body would name a manual axis).
+        self.tp_axis = None
+        sa = getattr(model, "shard_axes", None)
+        if sa is not None:
+            b_ax, h_ax = sa
+            if h_ax is not None:
+                if h_ax not in mesh.shape:
+                    raise ValueError(
+                        f"model shard_axes head axis {h_ax!r} is not in "
+                        f"the mesh: {dict(mesh.shape)}")
+                if h_ax in (pp_axis, dp_axis):
+                    raise ValueError(
+                        f"head-TP axis {h_ax!r} collides with the "
+                        "pipeline's pp/dp axes; use a distinct mesh axis "
+                        "(make_pp_mesh(n_tp=...))")
+                n_tp = int(mesh.shape[h_ax])
+                if n_tp > 1 and int(model.n_head) % n_tp:
+                    raise ValueError(
+                        f"n_head ({model.n_head}) must be divisible by "
+                        f"the tp mesh size ({n_tp})")
+                self.tp_axis = h_ax
+            if b_ax is not None and b_ax != dp_axis:
+                raise ValueError(
+                    f"model shard_axes batch axis {b_ax!r} must be the "
+                    f"pipeline's dp_axis ({dp_axis!r}) or None — the "
+                    "pipeline shards the batch itself")
         self.model = model
         self.mesh = mesh
         self.pp_axis = pp_axis
@@ -178,8 +214,16 @@ class PipelinedModel:
         if self.num_microbatches < 1:
             raise ValueError("num_microbatches must be >= 1")
         self.remat = remat
-        self.block = TransolverErwinBlock(
-            last_layer=False, **model.block_kwargs())
+        bk = model.block_kwargs()
+        if self.tp_axis is not None:
+            # stage blocks constrain ONLY the head axis (batch handled by
+            # the pipeline's own in_specs; see composition note above)
+            bk["attn_kwargs"] = {**bk.get("attn_kwargs", {}),
+                                 "shard_axes": (None, self.tp_axis)}
+        elif sa is not None:
+            bk["attn_kwargs"] = {**bk.get("attn_kwargs", {}),
+                                 "shard_axes": None}
+        self.block = TransolverErwinBlock(last_layer=False, **bk)
 
     # -- variables ---------------------------------------------------------
     def init(self, rng, *args, **kwargs):
@@ -361,9 +405,15 @@ class PipelinedModel:
                 jnp.where(stage == S - 1, outs, jnp.zeros_like(outs)), pp)
             return jnp.moveaxis(outs, 0, 1), bs_loc
 
+        # Manual ONLY over (pp, dp): any other mesh axis — the head-TP tp
+        # axis in particular — stays automatic, so with_sharding_constraint
+        # calls inside the block body partition the per-head work under
+        # XLA's partitioner exactly like the unpipelined TP path.
+        manual = {pp} | ({self.dp_axis} if self.dp_axis else set())
         out, new_bs = jax.shard_map(
             body, mesh=self.mesh,
             in_specs=(micro_spec, P(pp), P(pp), P()),
             out_specs=(micro_spec, P(pp)),
+            axis_names=frozenset(manual),
         )(micro, p_layers, bs_layers, dropout_key)
         return out.reshape(b_pad, N, C)[:B], new_bs

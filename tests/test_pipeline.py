@@ -584,3 +584,58 @@ def test_pipeline_train_then_plain_eval_export(tmp_path, capsys):
             {"params": s.params, "batch_stats": s.batch_stats}, x, fx)
     assert float(jnp.max(jnp.abs(
         out_plain - jax.device_get(out_pp)))) < 2e-5
+
+
+def test_pipeline_composes_with_head_tp():
+    """pp x tp COMPOSES (VERDICT r3 #4): a head-TP model
+    (shard_axes=(None, 'tp')) wrapped in PipelinedModel on a
+    (dp=1, pp=2, tp=2) mesh matches the plain unsharded model exactly at
+    M=1 — forward AND whole-tree gradients. Mechanism: the pipeline body
+    is manual over (pp, dp) only (jax.shard_map axis_names), so the
+    model's head-axis constraints stay XLA-automatic inside each stage."""
+    plain = _model()
+    tp_model = _model(shard_axes=(None, "tp"))
+    x, fx, _ = _data(B=2)
+    variables = jax.jit(plain.init)(jax.random.PRNGKey(0), x, fx)
+    pvars = split_variables(variables, plain.n_layers)
+
+    mesh = make_pp_mesh(n_dp=1, n_pp=2, n_tp=2, devices=jax.devices()[:4])
+    pm = PipelinedModel(tp_model, mesh, num_microbatches=1)
+
+    rng = np.random.RandomState(7)
+    r = jnp.asarray(rng.randn(*_data(B=2)[0].shape[:2], 2)
+                    .astype(np.float32))
+
+    def loss_pp(pv):
+        return jnp.sum(pm.apply(pv, x, fx) * r)
+
+    def loss_plain(v):
+        return jnp.sum(plain.apply(v, x, fx) * r)
+
+    with mesh:
+        out_pp = jax.jit(lambda pv: pm.apply(pv, x, fx))(pvars)
+        g_pp = jax.jit(jax.grad(loss_pp))(pvars)
+    out = plain.apply(variables, x, fx)
+    g = jax.grad(loss_plain)(variables)
+
+    np.testing.assert_allclose(np.asarray(out_pp), np.asarray(out),
+                               rtol=2e-5, atol=2e-5)
+    g_split = split_variables(g, plain.n_layers)
+    scale = max(float(jnp.abs(l).max())
+                for l in jax.tree_util.tree_leaves(g_split["params"]))
+    assert _max_diff(g_pp["params"], g_split["params"]) < 3e-5 * scale
+
+
+def test_pipeline_tp_validation_errors():
+    mesh = make_pp_mesh(n_dp=1, n_pp=2, n_tp=2, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="collides"):
+        PipelinedModel(_model(shard_axes=(None, "pp")), mesh)
+    with pytest.raises(ValueError, match="not in the mesh"):
+        PipelinedModel(_model(shard_axes=(None, "nope")), mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        # n_head=3 not divisible by tp=2
+        PipelinedModel(
+            _model(n_head=3, n_hidden=33, shard_axes=(None, "tp")), mesh)
+    with pytest.raises(ValueError, match="batch axis"):
+        PipelinedModel(_model(shard_axes=("other", "tp")), mesh,
+                       dp_axis=None)
