@@ -37,6 +37,8 @@ def main():
     assert multi == (nproc > 1)
     if mode == "pp":
         return main_pp(pid, nproc)
+    if mode == "tp":
+        return main_tp(pid, nproc)
     mesh = global_mesh()  # dp over all processes' devices
 
     import jax.numpy as jnp
@@ -133,6 +135,58 @@ def main_pp(pid: int, nproc: int):
     gnorm = float(metrics["grad_norm"])
     # params are pp-sharded across processes (not fully addressable) —
     # reduce under jit so every process sees the replicated scalar
+    psum = float(jax.jit(lambda t: sum(
+        jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(t)))(
+        state.params))
+    print(f"RESULT {pid} loss={loss:.10f} gnorm={gnorm:.10f} "
+          f"psum={psum:.10f} nglobal={len(jax.devices())} "
+          f"nlocal={len(jax.local_devices())}", flush=True)
+
+
+def main_tp(pid: int, nproc: int):
+    """Head tensor parallelism across the PROCESS boundary: the tp mesh
+    axis is the slow (process-major) one, so the [B, H, N, *] head shards
+    — and the head-merge all-gather in particular — cross the 2-process
+    Gloo cluster. dp is held at 2 for every cluster size, so the
+    single-process run (tp=2) differs from the 2-process run (tp=4) only
+    in the tp partitioning, which is numerics-invariant up to f32
+    reduction order (tests/test_tensor_parallel.py pins tp == replicated
+    single-host)."""
+    import jax
+    import jax.numpy as jnp
+
+    from haet_tpu.models import HAETransolver_Irregular_Mesh
+    from haet_tpu.train import Trainer
+    from haet_tpu.utils.config import TrainConfig
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices.reshape(-1, 2), ("tp", "dp"))  # tp spans processes
+
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=1, n_layers=1, n_hidden=16,
+        n_head=4, slice_num=8, mlp_ratio=1, shard_axes=("dp", "tp"))
+    trainer = Trainer(
+        model=model,
+        loss_fn=lambda out, b: (jnp.mean((out - b["y"]) ** 2), {}),
+        cfg=TrainConfig(lr=1e-3, schedule="constant", weight_decay=0.0),
+        total_steps=4, mesh=mesh,
+    )
+
+    # batch sharded over dp, replicated over the process-spanning tp axis
+    # — each process's local view is the full global batch (shard_batch
+    # assembles per-process via make_array_from_process_local_data)
+    gb = 8
+    rng = np.random.RandomState(0)
+    batch = {"x": rng.rand(gb, 64, 3).astype(np.float32),
+             "fx": rng.randn(gb, 64, 1).astype(np.float32),
+             "y": rng.randn(gb, 64, 1).astype(np.float32)}
+
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+
+    loss = float(metrics["loss"])
+    gnorm = float(metrics["grad_norm"])
     psum = float(jax.jit(lambda t: sum(
         jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(t)))(
         state.params))

@@ -103,3 +103,26 @@ def test_two_process_pipeline_parallel_matches_single_process():
     assert two[0]["loss"] == pytest.approx(one[0]["loss"], rel=2e-5)
     assert two[0]["gnorm"] == pytest.approx(one[0]["gnorm"], rel=2e-4)
     assert two[0]["psum"] == pytest.approx(one[0]["psum"], rel=2e-5)
+
+
+def test_two_process_tensor_parallel_matches_single_process():
+    """Head-TP across a REAL process boundary (VERDICT r3 #6): the tp mesh
+    axis is process-major, so the per-head shards of the [B, H, N, *]
+    intermediates — and the head-merge all-gather — cross the 2-process
+    Gloo cluster. dp held at 2 in both cluster sizes; the tp width (4
+    across 2 processes vs 2 single-process) only changes reduction order,
+    so the whole train step must agree to f32 noise."""
+    two = _run_cluster(2, _free_port(), mode="tp")
+    assert set(two) == {0, 1}
+    for r in two.values():
+        assert r["nglobal"] == 8 and r["nlocal"] == 4
+
+    assert two[0]["loss"] == pytest.approx(two[1]["loss"], rel=1e-7)
+    assert two[0]["gnorm"] == pytest.approx(two[1]["gnorm"], rel=1e-7)
+    assert two[0]["psum"] == pytest.approx(two[1]["psum"], rel=1e-7)
+
+    one = _run_cluster(1, _free_port(), mode="tp")
+    assert one[0]["nglobal"] == 4
+    assert two[0]["loss"] == pytest.approx(one[0]["loss"], rel=2e-5)
+    assert two[0]["gnorm"] == pytest.approx(one[0]["gnorm"], rel=2e-4)
+    assert two[0]["psum"] == pytest.approx(one[0]["psum"], rel=2e-5)
