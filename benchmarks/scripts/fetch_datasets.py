@@ -133,7 +133,7 @@ def fetch_pde(root: str):
                                     os.path.join(dst, fn))
 
 
-def verify(root: str) -> bool:
+def verify(root: str, deep: bool = False) -> bool:
     missing = []
     for folder_files in PDE_DRIVE_FOLDERS.values():
         for sub, fn in folder_files:
@@ -149,6 +149,105 @@ def verify(root: str) -> bool:
             print("  ", m)
         return False
     print("all dataset files present")
+    if deep:
+        return verify_deep(root)
+    return True
+
+
+def verify_deep(root: str) -> bool:
+    """Content-level verification: every file loads, paired files agree on
+    sample counts, and known grid sides match the reference configs. The
+    upstream sources publish no byte hashes (Google Drive folders + a
+    personal site), so this validates structure rather than checksums —
+    which is also what actually breaks runs (truncated downloads, wrong
+    Drive file picked, layout drift)."""
+    import numpy as np
+    problems = []
+
+    def check(cond, msg):
+        if not cond:
+            problems.append(msg)
+
+    try:
+        from haet_tpu.data.pde_datasets import _loadmat as load_mat
+
+        for fn in ("piececonst_r421_N1024_smooth1.mat",
+                   "piececonst_r421_N1024_smooth2.mat"):
+            d = load_mat(os.path.join(root, "darcy", fn))
+            check("coeff" in d and "sol" in d, f"{fn}: missing coeff/sol")
+            if "coeff" in d:
+                check(d["coeff"].shape[-1] == 421,
+                      f"{fn}: grid side {d['coeff'].shape} != 421")
+        d = load_mat(os.path.join(
+            root, "ns", "NavierStokes_V1e-5_N1200_T20.mat"))
+        check("u" in d, "NS .mat: missing 'u'")
+        if "u" in d:
+            check(20 in d["u"].shape, f"NS 'u' has no T=20 axis: "
+                  f"{d['u'].shape}")
+        d = load_mat(os.path.join(root, "plasticity", "plas_N987_T20.mat"))
+        check(any(k for k in d if not k.startswith("__")),
+              "plasticity .mat: empty")
+    except Exception as e:
+        problems.append(f".mat verification failed: {e!r}")
+
+    for sub, prefix, nch in (("airfoil", "NACA_Cylinder", 4),
+                             ("pipe", "Pipe", 1)):
+        try:
+            shapes = {}
+            for part in ("X", "Y", "Q"):
+                a = np.load(os.path.join(root, sub, f"{prefix}_{part}.npy"),
+                            mmap_mode="r")
+                shapes[part] = a.shape
+            check(shapes["X"] == shapes["Y"],
+                  f"{sub}: X {shapes['X']} != Y {shapes['Y']}")
+            check(shapes["Q"][0] == shapes["X"][0],
+                  f"{sub}: Q samples {shapes['Q'][0]} != X "
+                  f"{shapes['X'][0]}")
+        except Exception as e:
+            problems.append(f"{sub} .npy verification failed: {e!r}")
+
+    try:
+        xy = np.load(os.path.join(
+            root, "elasticity", "Random_UnitCell_XY_10.npy"), mmap_mode="r")
+        sig = np.load(os.path.join(
+            root, "elasticity", "Random_UnitCell_sigma_10.npy"),
+            mmap_mode="r")
+        check(2 in xy.shape, f"elasticity XY has no coord axis: {xy.shape}")
+        check(xy.shape[-1] == sig.shape[-1],
+              f"elasticity XY/sigma sample counts differ: "
+              f"{xy.shape} vs {sig.shape}")
+    except Exception as e:
+        problems.append(f"elasticity verification failed: {e!r}")
+
+    train_dir = os.path.join(root, "shapenet_car", "training_data")
+    n_samples, incomplete = 0, []
+    for i in range(9):
+        pdir = os.path.join(train_dir, f"param{i}")
+        if not os.path.isdir(pdir):
+            continue
+        for sid in os.listdir(pdir):
+            sdir = os.path.join(pdir, sid)
+            if not os.path.isdir(sdir):
+                continue
+            n_samples += 1
+            for want in ("quadpress_smpl.vtk", "hexvelo_smpl.vtk"):
+                if not os.path.exists(os.path.join(sdir, want)):
+                    incomplete.append(f"param{i}/{sid}/{want}")
+    check(not incomplete,
+          f"car: {len(incomplete)} samples missing a vtk file "
+          f"(first: {incomplete[:3]})")
+    # 889 in the archive minus the 4 corrupted ones DownloadData.sh removes
+    check(n_samples in (885, 889),
+          f"car: {n_samples} samples (expected 885 after bad-sample "
+          "removal, or 889 raw)")
+
+    if problems:
+        print("DEEP-VERIFY PROBLEMS:")
+        for p in problems:
+            print("  ", p)
+        return False
+    print(f"deep verification OK ({n_samples} car samples; all PDE files "
+          "load with consistent shapes)")
     return True
 
 
@@ -158,6 +257,9 @@ def main():
     ap.add_argument("--car", action="store_true", help="fetch ShapeNet-Car")
     ap.add_argument("--pde", action="store_true", help="fetch FNO suite")
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--deep", action="store_true",
+                    help="with --verify: load every file and check "
+                         "shapes/sample counts, not just existence")
     args = ap.parse_args()
     os.makedirs(args.root, exist_ok=True)
     if args.car:
@@ -165,7 +267,8 @@ def main():
     if args.pde:
         fetch_pde(args.root)
     if args.verify or not (args.car or args.pde):
-        verify(args.root)
+        ok = verify(args.root, deep=args.deep)
+        sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

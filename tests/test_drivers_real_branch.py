@@ -342,3 +342,71 @@ def test_car_eval_real_branch_with_export(tmp_path, capsys):
     assert key[0][0] == 1  # B=1 serving
     assert key[0][1] >= len(val_s[0].pos)  # bucket-padded serving N
     assert key[0][2] == val_s[0].x.shape[-1]  # feature channels
+
+
+def _build_parity_layout(root):
+    """Assemble a fetch_datasets.py-conformant layout from the committed
+    fixtures (PDE subdirs as-is; the car pair replicated into a
+    param0/<id>/ sample dir)."""
+    for sub in ("darcy", "ns", "airfoil", "pipe", "elasticity",
+                "plasticity"):
+        shutil.copytree(os.path.join(FIXT, sub), os.path.join(root, sub))
+    shutil.copytree(
+        os.path.join(FIXT, "car"),
+        os.path.join(root, "shapenet_car", "training_data"))
+
+
+def test_fetch_datasets_deep_verify_catches_wrong_content(tmp_path,
+                                                          capsys):
+    """--verify --deep is CONTENT-level (VERDICT r3 #2): on a layout where
+    every expected file exists but holds miniature fixture data, shallow
+    verify passes while deep verify flags the Darcy grid side (41 != the
+    reference 421) — i.e. a truncated/wrong download cannot masquerade as
+    a complete dataset."""
+    sys.path.insert(0, os.path.join(BENCH, "scripts"))
+    import fetch_datasets
+
+    _build_parity_layout(str(tmp_path))
+    assert fetch_datasets.verify(str(tmp_path), deep=False)
+    assert not fetch_datasets.verify(str(tmp_path), deep=True)
+    out = capsys.readouterr().out
+    assert "421" in out  # names the actual content mismatch
+
+
+def test_parity_repro_on_fixture_datasets(tmp_path):
+    """benchmarks/parity_repro.py end to end (VERDICT r3 #2): the
+    one-command kit runs the real driver CLIs (subprocesses) against a
+    fixture-built fetch_datasets layout and emits a BASELINE.md-format
+    table whose rows carry the committed reference numbers next to the
+    fresh ones."""
+    import subprocess
+
+    _build_parity_layout(str(tmp_path / "data"))
+    out_md = tmp_path / "PARITY.md"
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "HAET_PLATFORM": "cpu", "PYTHONPATH": REPO}
+    cmd = [
+        sys.executable, os.path.join(BENCH, "parity_repro.py"),
+        "--data_root", str(tmp_path / "data"),
+        "--tasks", "pipe,elas",
+        "--epochs", "2",
+        "--workdir", str(tmp_path / "runs"),
+        "--out", str(out_md),
+        "--pde_flags",
+        "--ntrain 3 --ntest 1 --batch-size 1 --n-hidden 32 --n-layers 2 "
+        "--n-heads 4 --slice_num 16 --mlp_ratio 1",
+    ]
+    proc = subprocess.run(cmd, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True, env=env,
+                          cwd=REPO, timeout=1500)
+    assert proc.returncode == 0, proc.stdout[-3000:]
+    table = out_md.read_text()
+    # reference numbers present, 1:1 with BASELINE.md rows
+    assert "0.00505" in table and "0.10848" in table
+    # our fresh numbers parsed and finite
+    for line in table.splitlines():
+        if line.startswith("| pipe") or line.startswith("| elas"):
+            ours = float(line.split("|")[4])
+            assert np.isfinite(ours)
+    # the epochs override is loudly marked as non-reference
+    assert "NOT the reference schedule" in table
