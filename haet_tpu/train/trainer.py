@@ -143,6 +143,26 @@ def make_schedule(cfg: TrainConfig, total_steps: int):
     raise ValueError(f"unknown schedule {cfg.schedule!r}")
 
 
+def clip_by_global_norm_torch(max_norm: float):
+    """``torch.nn.utils.clip_grad_norm_`` exactly: every reference run
+    clips (``train.py:94``, all six ``exp_*.py``), and torch scales by
+    ``max_norm / (total_norm + 1e-6)`` clamped to 1 — the 1e-6 makes the
+    active-clipping scale differ from ``optax.clip_by_global_norm``'s
+    ``max_norm / total_norm`` by ~1e-6/norm relative. Negligible per
+    step, but trajectory exactness is the contract here."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates)
+        coef = jnp.minimum(max_norm / (norm + 1e-6), 1.0)
+        return jax.tree_util.tree_map(lambda g: g * coef, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def weight_decay_mask(params):
     """True for every leaf AdamW should decay — all except ``sigma_att``.
 
@@ -212,7 +232,7 @@ def make_optimizer(cfg: TrainConfig, total_steps: int):
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
     if cfg.max_grad_norm is not None:
-        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+        tx = optax.chain(clip_by_global_norm_torch(cfg.max_grad_norm), tx)
     return tx
 
 

@@ -1048,3 +1048,30 @@ def test_metrics_logger_close(tmp_path):
 
     [rec] = [_json.loads(l) for l in open(path)]
     assert rec["loss"] == 1.0
+
+
+def test_grad_clip_matches_torch_exactly():
+    """clip_by_global_norm_torch == torch.nn.utils.clip_grad_norm_ bit-for-
+    semantics: the 1e-6 in torch's denominator (active both above AND
+    below the threshold — torch always multiplies by the clamped coef)
+    is reproduced, since every reference run trains under this exact
+    clip (train.py:94, exp_*.py)."""
+    from haet_tpu.train.trainer import clip_by_global_norm_torch
+
+    rng = np.random.RandomState(11)
+    for max_norm, scale in [(1.0, 10.0), (1.0, 0.01), (0.5, 0.49)]:
+        grads = {"a": rng.randn(7, 3).astype(np.float32) * scale,
+                 "b": rng.randn(5).astype(np.float32) * scale}
+        tp = [torch.tensor(g, requires_grad=True) for g in grads.values()]
+        for p, g in zip(tp, grads.values()):
+            p.grad = torch.tensor(g)
+        torch.nn.utils.clip_grad_norm_(tp, max_norm=max_norm)
+
+        tx = clip_by_global_norm_torch(max_norm)
+        st = tx.init(grads)
+        clipped, _ = tx.update(
+            jax.tree_util.tree_map(jnp.asarray, grads), st)
+        for ours, theirs in zip(
+                [clipped["a"], clipped["b"]], [t.grad for t in tp]):
+            np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                                       rtol=1e-7, atol=1e-12)
