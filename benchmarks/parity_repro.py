@@ -58,6 +58,15 @@ REFERENCE = {
 }
 
 _REL_ERR = re.compile(r"rel_err:([\d.eE+-]+)")
+
+
+def _parse_rel(out, log_path):
+    m = _REL_ERR.search(out)
+    if not m:
+        raise RuntimeError(
+            "driver finished but printed no 'rel_err:' line — output "
+            f"format drift or truncated stdout; full log: {log_path}")
+    return float(m.group(1))
 _CAR_LINES = {
     "rel-L2 pressure": re.compile(r"relative l2 error press:\s*([\d.eE+-]+)"),
     "rel-L2 velocity": re.compile(r"relative l2 error velo:\s*([\d.eE+-]+)"),
@@ -98,7 +107,7 @@ def run_pipe(args, workdir):
         "--slice_num", "64", "--max_grad_norm", "0.1",
     ] + (["--epochs", "500"] if not args.epochs else []), args),
         os.path.join(workdir, "pipe.log"))
-    return {"rel-L2": float(_REL_ERR.search(out).group(1))}
+    return {"rel-L2": _parse_rel(out, os.path.join(workdir, "pipe.log"))}
 
 
 def run_elas(args, workdir):
@@ -108,7 +117,7 @@ def run_elas(args, workdir):
         "--max_grad_norm", "0.1",
     ] + (["--epochs", "500"] if not args.epochs else []), args),
         os.path.join(workdir, "elas.log"))
-    return {"rel-L2": float(_REL_ERR.search(out).group(1))}
+    return {"rel-L2": _parse_rel(out, os.path.join(workdir, "elas.log"))}
 
 
 def run_ns(args, workdir):
@@ -118,7 +127,7 @@ def run_ns(args, workdir):
         "--unified_pos", "1",
     ] + (["--epochs", "500"] if not args.epochs else []), args),
         os.path.join(workdir, "ns.log"))
-    return {"rel-L2": float(_REL_ERR.search(out).group(1))}
+    return {"rel-L2": _parse_rel(out, os.path.join(workdir, "ns.log"))}
 
 
 def run_car(args, workdir):
@@ -148,6 +157,12 @@ def run_car(args, workdir):
         m = rx.search(out)
         if m:
             res[label] = float(m.group(1))
+    missing = [lb for lb in _CAR_LINES if lb not in res
+               and lb != "Spearman rho_d"]  # rho_d needs quad meshes
+    if missing:
+        raise RuntimeError(
+            f"car_eval printed no {missing} lines — output format drift; "
+            f"full log: {os.path.join(workdir, 'car_eval.log')}")
     if args.torch_checkpoint:
         out_t = _run(eval_cmd + ["--torch_checkpoint",
                                  args.torch_checkpoint],
@@ -163,7 +178,7 @@ RUNNERS = {"car": run_car, "pipe": run_pipe, "elas": run_elas,
            "ns": run_ns}
 
 
-def emit_table(results, args) -> str:
+def emit_table(results, args, failures=None) -> str:
     lines = [
         "# Real-data parity reproduction",
         "",
@@ -186,6 +201,8 @@ def emit_table(results, args) -> str:
             ref_s = f"{ref_val}" if ref_val is not None else "—"
             lines.append(f"| {task} | {label} | {ref_s} | {ours:.5f} "
                          f"| {src} |")
+    for task, err in (failures or {}).items():
+        lines.append(f"| {task} | — | — | FAILED: {err[:120]} | |")
     return "\n".join(lines) + "\n"
 
 
@@ -209,20 +226,33 @@ def main(argv=None):
                          "(appended last, so they override)")
     args = ap.parse_args(argv)
 
-    results = {}
-    for task in [t.strip() for t in args.tasks.split(",") if t.strip()]:
+    tasks = [t.strip() for t in args.tasks.split(",") if t.strip()]
+    for task in tasks:
         if task not in RUNNERS:
             raise SystemExit(f"unknown task {task!r}; "
                              f"choose from {sorted(RUNNERS)}")
+    results, failures = {}, {}
+    for task in tasks:
         wd = os.path.join(args.workdir, task)
         os.makedirs(wd, exist_ok=True)
-        results[task] = RUNNERS[task](args, wd)
-
-    table = emit_table(results, args)
-    with open(args.out, "w") as f:
-        f.write(table)
+        # One failing task must not discard days of completed runs: record
+        # the error as a table row, keep going, and REWRITE the table
+        # after every task so partial progress is always on disk.
+        try:
+            results[task] = RUNNERS[task](args, wd)
+        except Exception as e:
+            print(f"[parity_repro] task {task!r} FAILED: {e}",
+                  file=sys.stderr)
+            failures[task] = str(e)
+        table = emit_table(results, args, failures)
+        with open(args.out, "w") as f:
+            f.write(table)
     print(table)
     print(f"table -> {args.out}")
+    if failures:
+        raise SystemExit(
+            f"{len(failures)}/{len(tasks)} tasks failed: "
+            f"{sorted(failures)} (completed results kept in {args.out})")
     return results
 
 

@@ -362,7 +362,7 @@ class PipelinedModel:
                 return jax.lax.scan(fn, h_in, (p_loc, bs_loc, gl))
 
             def tick(carry, t):
-                state, bs_loc = carry
+                state, bs_loc, acc = carry
                 m_in = jnp.clip(t, 0, M - 1)
                 x_t = jax.lax.dynamic_index_in_dim(
                     micro, m_in, axis=1, keepdims=False)
@@ -376,9 +376,21 @@ class PipelinedModel:
                     bs_loc = jax.tree_util.tree_map(
                         lambda new, old: jnp.where(valid, new, old),
                         bs_new, bs_loc)
+                # Accumulate ONLY the valid outputs into a [M, ...] buffer
+                # instead of stacking every tick as scan ys: the
+                # warmup/drain bubble lanes would inflate the live output
+                # stack by (1 + (S-1)/M)x on a feature whose point is
+                # memory capacity. Every stage writes (same SPMD program);
+                # the psum after the scan keeps only the last stage's.
+                o_idx = jnp.clip(t - (S - 1), 0, M - 1)
+                acc = jnp.where(
+                    t >= S - 1,
+                    jax.lax.dynamic_update_slice_in_dim(
+                        acc, out[None], o_idx, axis=0),
+                    acc)
                 nxt = jax.lax.ppermute(
                     out, pp, [(i, (i + 1) % S) for i in range(S)])
-                return (nxt, bs_loc), out
+                return (nxt, bs_loc, acc), None
 
             # VMA bookkeeping: the tick loop's carries become varying over
             # pp (ppermute/params) and, with a dp axis, over dp (microbatch
@@ -387,20 +399,22 @@ class PipelinedModel:
             vary = (pp,) + ((self.dp_axis,) if self.dp_axis else ())
             state0 = jax.lax.pcast(
                 jnp.zeros((Bl, N, C), micro.dtype), vary, to="varying")
+            acc0 = jax.lax.pcast(
+                jnp.zeros((M, Bl, N, C), micro.dtype), vary, to="varying")
             if train and has_bn and self.dp_axis:
                 # bs_loc enters pp-varying (sharded params); add dp
                 bs_loc = jax.tree_util.tree_map(
                     lambda a: jax.lax.pcast(
                         a, self.dp_axis, to="varying"), bs_loc)
-            (_, bs_loc), outs = jax.lax.scan(
-                tick, (state0, bs_loc), jnp.arange(M + S - 1))
+            (_, bs_loc, outs), _ = jax.lax.scan(
+                tick, (state0, bs_loc, acc0), jnp.arange(M + S - 1))
             if train and has_bn and self.dp_axis:
                 # per-dp-shard BN stats are averaged (the framework keeps
                 # ONE stats tree; mean of per-shard running stats)
                 bs_loc = jax.lax.pmean(bs_loc, self.dp_axis)
-            # the last stage's outputs for microbatches 0..M-1 are the
-            # ticks S-1 .. S-1+M-1 (static slice); broadcast them pp-wide
-            outs = jax.lax.dynamic_slice_in_dim(outs, S - 1, M, axis=0)
+            # only the last stage's accumulator holds real model outputs
+            # (ticks S-1 .. S-1+M-1 for microbatches 0..M-1); broadcast
+            # them pp-wide
             outs = jax.lax.psum(
                 jnp.where(stage == S - 1, outs, jnp.zeros_like(outs)), pp)
             return jnp.moveaxis(outs, 0, 1), bs_loc

@@ -203,12 +203,20 @@ def make_optimizer(cfg: TrainConfig, total_steps: int):
     directly scales the update); the first moment is a smoothed gradient
     where bf16's 8 mantissa bits cost noise far below gradient noise.
     """
-    sched = make_schedule(cfg, total_steps)
     cycled = cfg.schedule == "onecycle" and cfg.cycle_momentum
-    if cycled:
+    if cfg.schedule == "onecycle":
+        # compute the (possibly stretched) horizon ONCE so the LR and
+        # beta1 cycles always share it and a stretch warns once
         horizon = _onecycle_horizon(cfg, total_steps)
-        b1 = _onecycle_phased(horizon, cfg.max_momentum, cfg.base_momentum,
-                              cfg.max_momentum, cfg.pct_start)
+        v0 = cfg.lr / cfg.div_factor
+        sched = _onecycle_phased(horizon, v0, cfg.lr,
+                                 v0 / cfg.final_div_factor, cfg.pct_start)
+        if cycled:
+            b1 = _onecycle_phased(horizon, cfg.max_momentum,
+                                  cfg.base_momentum, cfg.max_momentum,
+                                  cfg.pct_start)
+    else:
+        sched = make_schedule(cfg, total_steps)
 
     mu_dtype = jnp.bfloat16 if cfg.mu_bf16 else None
     if cfg.optimizer == "adamw":
@@ -443,14 +451,21 @@ class Trainer:
         # (fresh runs into the same directory start at inf instead).
         if hasattr(checkpointer, "rearm_best"):
             checkpointer.rearm_best()
-        # ABSTRACT template (shape/dtype only): materializing the live
-        # state to numpy would gather every leaf to this host — with
-        # --multihost --pp the stage-sharded layer stacks are not fully
-        # addressable per process and the gather crashes before restore
-        # is even attempted.
+        # ABSTRACT template: materializing the live state to numpy would
+        # gather every leaf to this host — with --multihost --pp the
+        # stage-sharded layer stacks are not fully addressable per
+        # process and the gather crashes before restore is even
+        # attempted. Each ShapeDtypeStruct CARRIES the live leaf's
+        # sharding (the current topology's): orbax then restores straight
+        # into this run's placement even when the checkpoint was written
+        # under a different device topology (shardingless abstract
+        # templates make orbax read the saved topology from the file and
+        # fail when those devices are absent — e.g. resuming a TPU
+        # checkpoint on CPU, or a different chip count).
         template = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
-                                           jnp.result_type(x)), state)
+            lambda x: jax.ShapeDtypeStruct(
+                jnp.shape(x), jnp.result_type(x),
+                sharding=getattr(x, "sharding", None)), state)
         try:
             restored = checkpointer.restore(template, which)
         except Exception as e:
@@ -858,6 +873,12 @@ class Trainer:
                     # Periodic policy (reference PDE drivers save every 100
                     # epochs, exp_darcy.py:259-263); pruned to `keep`.
                     checkpointer.save_periodic(state, epoch)
+        # A later fit() on this Trainer continues the numbering from the
+        # last epoch THIS loop completed — without this, the stale
+        # restore-time value would restart a continuation run at the old
+        # resume point (re-running epochs and corrupting the sidecar).
+        if epochs > start_epoch:
+            self._resume_epoch = epoch
         if checkpointer is not None:
             checkpointer.wait()
         return state

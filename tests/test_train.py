@@ -1075,3 +1075,64 @@ def test_grad_clip_matches_torch_exactly():
                 [clipped["a"], clipped["b"]], [t.grad for t in tp]):
             np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
                                        rtol=1e-7, atol=1e-12)
+
+
+def test_restore_across_topologies(tmp_path):
+    """A checkpoint whose leaves were PARTITIONED over a mesh must restore
+    into a differently-placed (here: single-device) live state — resuming
+    a --dp run on fewer chips, or debugging a TPU checkpoint on CPU. The
+    restore template carries the LIVE state's shardings; a shardingless
+    abstract template makes orbax read the SAVED topology from the file
+    and fail when those devices are absent (r4 review finding)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from haet_tpu.train.trainer import TrainState
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("dp",))
+    w = jax.device_put(jnp.arange(32.0).reshape(8, 4),
+                       NamedSharding(mesh, P("dp")))  # genuinely sharded
+    saved = TrainState(step=jnp.asarray(3, jnp.int32), params={"w": w},
+                       batch_stats={}, opt_state=())
+    ck = Checkpointer(str(tmp_path))
+    ck.save_last(saved, epoch=0)
+    ck.wait()
+
+    live = TrainState(step=jnp.zeros((), jnp.int32),
+                      params={"w": jnp.zeros((8, 4), jnp.float32)},
+                      batch_stats={}, opt_state=())
+    restored = _make_trainer().maybe_restore(live, Checkpointer(str(tmp_path)))
+    assert int(restored.step) == 3
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(32.0).reshape(8, 4))
+    # placed per the LIVE state (current topology), not the saved mesh
+    assert restored.params["w"].sharding == live.params["w"].sharding
+
+
+def test_consecutive_fits_continue_epoch_numbering(tmp_path):
+    """A second fit() on the same Trainer (continue/fine-tune) must pick
+    up the numbering after the epochs the FIRST loop completed — not
+    restart at a stale restore-time value, re-running epochs and
+    corrupting the sidecar (r4 review finding)."""
+    from haet_tpu.data import batch_iter
+
+    d = _data(8)
+    trainer = _make_trainer(total_steps=8)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:4] for k, v in d.items()})
+    ck = Checkpointer(str(tmp_path))
+
+    logged = []
+
+    class Cap:
+        def log(self, rec):
+            logged.append(rec)
+
+    state = trainer.fit(state, batch_iter(d, 4, True, 0), epochs=2,
+                        logger=Cap(), checkpointer=ck)
+    assert [r["epoch"] for r in logged if "epoch" in r] == [0, 1]
+
+    logged.clear()
+    state = trainer.fit(state, batch_iter(d, 4, True, 1), epochs=4,
+                        logger=Cap(), checkpointer=ck)
+    assert [r["epoch"] for r in logged if "epoch" in r] == [2, 3]
+    assert ck.epoch_of("last", int(state.step)) == 3
