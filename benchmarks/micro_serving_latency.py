@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Batch-1 serving latency of the flagship car model on one TPU chip.
+
+The reference's committed eval artifact logs **0.1342 s/sample** batch-1
+inference latency on an A100 (`benchmarks/02-Car-Design-ShapeNetCar/
+slurm_output/transolver_erwin_eval.out`, "time:", BASELINE.md). This
+driver measures the rebuild's equivalent through the *serving* path — the
+AOT StableHLO artifact (`haet_tpu.export`) a deployment would actually
+run — and through plain `jax.jit` as a cross-check (same program; the
+artifact adds only deserialization at load time).
+
+Two numbers matter for serving and they are NOT the same through a
+tunneled chip:
+
+* ``e2e_latency_s`` — wall time of ONE dispatch + host fetch. This is the
+  request-to-response latency a single synchronous client sees; through
+  the tunnel it is dominated by the ~30-150 ms RTT, not compute
+  (CLAUDE.md / docs/benchmarks.md).
+* ``device_latency_s`` — steady-state per-sample device time, measured
+  with the differential lo/hi-window trick (calls chained through a data
+  dependency so every program must execute; the RTT is paid once per
+  window and subtracts out exactly). This is the number that determines
+  sustained serving throughput (samples/sec/chip = 1/device_latency) and
+  is the apples-to-apples comparison with the A100 log, which was
+  measured host-adjacent.
+
+Prints one JSON line with both, plus samples/sec/chip and the ratio vs
+the A100 baseline.
+
+Usage: python benchmarks/micro_serving_latency.py [--n 32186] [--rounds 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from haet_tpu.utils.env import apply_platform_override, enable_compilation_cache  # noqa: E402
+
+apply_platform_override()
+enable_compilation_cache(
+    os.environ.get("HAET_COMPILE_CACHE")
+    or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                    ".xla_cache"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+BASELINE_LATENCY_S = 0.1342  # A100, reference eval log (BASELINE.md)
+LO, HI = 4, 24
+
+
+def measure(call, x, rounds):
+    """(e2e_best, device_per_call_best) for a 1-arg chained callable."""
+
+    def window(k):
+        t0 = time.perf_counter()
+        v = x
+        for _ in range(k):
+            v = call(v)
+        float(jnp.mean(v))  # host fetch: forces the whole chain
+        return time.perf_counter() - t0
+
+    window(1)  # compile / warm
+    e2e = float("inf")
+    best = {LO: float("inf"), HI: float("inf")}
+    for _ in range(rounds):
+        e2e = min(e2e, window(1))
+        # interleave lo/hi so both minima come from the same chip regime
+        best[LO] = min(best[LO], window(LO))
+        best[HI] = min(best[HI], window(HI))
+    diff = best[HI] - best[LO]
+    dev = diff / (HI - LO) if diff > 0 else best[HI] / HI
+    return e2e, dev
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=32186,
+                    help="points per sample (reference car meshes ~32k)")
+    ap.add_argument("--rounds", type=int, default=6)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from haet_tpu import export as hexport
+    from haet_tpu.utils.config import shapenet_car_config
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    cfg = dataclasses.replace(shapenet_car_config().model, bf16=on_tpu)
+    model = cfg.build()
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, args.n, 7).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, None)
+
+    # --- serving path: AOT artifact round-tripped through disk ----------
+    with tempfile.TemporaryDirectory() as td:
+        art_dir = os.path.join(td, "artifact")
+        hexport.save_artifact(art_dir, model, variables, (x, None))
+        served = hexport.load_artifact(art_dir)
+
+        def aot_call(v):
+            out = served(variables, v)
+            return v + (1e-12 * jnp.mean(out)).astype(v.dtype)
+
+        e2e_aot, dev_aot = measure(aot_call, x, args.rounds)
+
+    # --- plain jit cross-check (same program, no serialization) ---------
+    @jax.jit
+    def jit_fwd(v):
+        out = model.apply(variables, v, None, train=False)
+        return v + (1e-12 * jnp.mean(out)).astype(v.dtype)
+
+    e2e_jit, dev_jit = measure(jit_fwd, x, args.rounds)
+
+    print(json.dumps({
+        "metric": "serving_latency_batch1",
+        "n_points": args.n,
+        "aot": {"e2e_latency_s": round(e2e_aot, 5),
+                "device_latency_s": round(dev_aot, 5),
+                "samples_per_sec": round(1.0 / dev_aot, 1)},
+        "jit": {"e2e_latency_s": round(e2e_jit, 5),
+                "device_latency_s": round(dev_jit, 5)},
+        "baseline_a100_s": BASELINE_LATENCY_S,
+        "vs_baseline_device": round(BASELINE_LATENCY_S / dev_aot, 1),
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
