@@ -1,0 +1,293 @@
+"""Production serving: dynamic request batching over AOT artifacts.
+
+The reference repo stops at an eval script (single-sample loop,
+``benchmarks/02-Car-Design-ShapeNetCar/main.py`` eval branch); deploying it
+means hand-rolling the serving loop. Here serving is first-class and
+TPU-shaped:
+
+* **Batch is part of the compiled program** (static shapes — XLA traces and
+  tiles once; ``haet_tpu/export.py`` module docstring). So a server cannot
+  "just batch whatever arrived": it needs one AOT program per batch size it
+  intends to dispatch. :func:`export_batch_family` writes a
+  :class:`~haet_tpu.export.ServingBundle` with a power-of-two family of
+  batch sizes for one sample signature.
+
+* **Dynamic batching without padding.** :class:`BatchingServer` queues
+  single-sample requests, groups same-signature samples, and greedily
+  dispatches the largest exported batch size that the queue can fill —
+  remainder rides smaller programs (worst case batch-1). No request is ever
+  padded with synthetic samples: duplicate/zero padding would change
+  nothing for per-sample outputs here, but the export contract is
+  explicit no-silent-padding (rep-slice statistics are batch-independent,
+  yet BatchNorm in train mode and any future cross-sample op are not — the
+  serving layer must not quietly create data the caller never sent).
+
+* **Latency/throughput knob.** ``max_delay_s`` bounds how long the first
+  request in a group waits for co-batchable traffic: 0 = latency-optimal
+  (dispatch immediately, batch only what is already queued), larger =
+  throughput-optimal. On a tunneled chip the dispatch RTT dominates
+  single-request latency (docs/benchmarks.md), so batching pays for
+  itself almost immediately.
+
+The server is transport-agnostic: ``submit`` returns a
+``concurrent.futures.Future``; wrap it in HTTP/gRPC as needed. Single
+dispatcher thread → at most one program in flight per server, which is the
+right shape for one chip (programs serialize on the device anyway; a second
+in-flight dispatch only hides tunnel RTT, which ``pipeline_depth=2`` opts
+into).
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from . import export as hexport
+
+__all__ = ["BatchingServer", "export_batch_family", "ServerStats"]
+
+
+def export_batch_family(
+    path: str,
+    model,
+    variables,
+    example_args: Sequence[Any],
+    batch_sizes: Sequence[int] = (1, 2, 4, 8),
+    *,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Write one AOT artifact per batch size under ``path`` (a
+    :class:`~haet_tpu.export.ServingBundle` root).
+
+    ``example_args`` carries the SINGLE-sample signature: arrays shaped
+    ``[1, ...]`` (or ``None`` for absent optional inputs, e.g. ``fx``).
+    Each batch size re-exports the same program with the leading axis set
+    to ``b`` — identical weights, one compile per size.
+    """
+    import os
+
+    for b in sorted(set(int(b) for b in batch_sizes)):
+        if b < 1:
+            raise ValueError(f"batch sizes must be >= 1, got {b}")
+        ex_b = tuple(
+            None if a is None else np.broadcast_to(
+                np.asarray(a), (b,) + np.shape(a)[1:]).copy()
+            for a in example_args
+        )
+        hexport.save_artifact(
+            os.path.join(path, f"b{b}"), model, variables, ex_b,
+            platforms=platforms,
+            extra_manifest={"batch_size": b},
+        )
+    return path
+
+
+class ServerStats:
+    """Counters the dispatcher updates; read them any time."""
+
+    def __init__(self):
+        self.requests = 0
+        self.dispatches = 0
+        self.batch_histogram = collections.Counter()
+        self.queue_wait_s_total = 0.0
+
+    def snapshot(self) -> dict:
+        return {
+            "requests": self.requests,
+            "dispatches": self.dispatches,
+            "batch_histogram": dict(self.batch_histogram),
+            "mean_queue_wait_s": (
+                self.queue_wait_s_total / self.requests
+                if self.requests else 0.0),
+        }
+
+
+class _Request:
+    __slots__ = ("args", "key", "future", "t_enqueued")
+
+    def __init__(self, args, key):
+        self.args = args
+        self.key = key
+        self.future: Future = Future()
+        self.t_enqueued = time.perf_counter()
+
+
+class BatchingServer:
+    """Groups single-sample requests into the largest exported batches.
+
+    Args:
+        bundle: a :class:`~haet_tpu.export.ServingBundle` (e.g. from
+            :func:`export_batch_family` + ``ServingBundle.load``), or any
+            mapping-free object with ``shapes()`` and ``predict``.
+        variables: the model variables passed to every artifact call.
+        max_delay_s: how long the oldest queued request may wait for
+            co-batchable traffic before dispatch (0 = immediately).
+        max_queue: backpressure bound; ``submit`` raises when full.
+
+    Use as a context manager or call :meth:`close`.
+    """
+
+    def __init__(self, bundle, variables, *, max_delay_s: float = 0.002,
+                 max_queue: int = 1024):
+        self.bundle = bundle
+        self.variables = variables
+        self.max_delay_s = float(max_delay_s)
+        self.max_queue = int(max_queue)
+        self.stats = ServerStats()
+
+        # batch sizes available per single-sample signature:
+        # sig = shapes with the leading (batch) axis stripped
+        self._sizes_by_sig: dict = {}
+        for key in bundle.shapes():
+            batches = {s[0] for s in key}
+            if len(batches) != 1:
+                continue  # mixed leading axes: not a batchable signature
+            sig = tuple(tuple(s[1:]) for s in key)
+            self._sizes_by_sig.setdefault(sig, []).append(
+                int(batches.pop()))
+        for sig in self._sizes_by_sig:
+            self._sizes_by_sig[sig].sort(reverse=True)
+
+        self._lock = threading.Condition()
+        self._queues: dict = collections.defaultdict(collections.deque)
+        self._closed = False
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True,
+                                        name="haet-serving-dispatcher")
+        self._thread.start()
+
+    # -- client side ----------------------------------------------------
+
+    def submit(self, *args) -> Future:
+        """Enqueue ONE sample (arrays shaped ``[...]`` without the batch
+        axis, ``None`` for absent optional inputs). Returns a Future whose
+        result is the model output for this sample (batch axis stripped).
+        """
+        arrs = tuple(None if a is None else np.asarray(a) for a in args)
+        sig = tuple(tuple(np.shape(a)) for a in arrs if a is not None)
+        if sig not in self._sizes_by_sig:
+            raise ValueError(
+                f"no artifact family for sample signature {sig}; "
+                f"available: {sorted(self._sizes_by_sig)}")
+        req = _Request(arrs, sig)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            depth = sum(len(q) for q in self._queues.values())
+            if depth >= self.max_queue:
+                raise RuntimeError(
+                    f"queue full ({depth} >= max_queue={self.max_queue})")
+            self._queues[sig].append(req)
+            self.stats.requests += 1
+            self._lock.notify()
+        return req.future
+
+    def predict(self, *args, timeout: Optional[float] = None):
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(*args).result(timeout=timeout)
+
+    # -- dispatcher side ------------------------------------------------
+
+    def _take_group(self):
+        """Under the lock: pick (sig, [requests]) to dispatch, or None.
+
+        Policy: serve the signature whose oldest request has waited
+        longest; take the largest exported batch size the queue can fill,
+        but only dispatch a partial wait window if the oldest request has
+        aged past ``max_delay_s`` OR the largest batch is already full.
+        """
+        now = time.perf_counter()
+        oldest_sig, oldest_t = None, None
+        for sig, q in self._queues.items():
+            if q and (oldest_t is None or q[0].t_enqueued < oldest_t):
+                oldest_sig, oldest_t = sig, q[0].t_enqueued
+        if oldest_sig is None:
+            return None, None  # nothing queued
+        sizes = self._sizes_by_sig[oldest_sig]
+        q = self._queues[oldest_sig]
+        aged = now - oldest_t >= self.max_delay_s or self._closed
+        if len(q) < sizes[0] and not aged:
+            # let traffic accumulate toward the biggest program
+            return None, self.max_delay_s - (now - oldest_t)
+        if len(q) < sizes[-1]:
+            # aged out below the SMALLEST exported batch (family without a
+            # b1 artifact): no program can ever serve these alone — fail
+            # fast with a clear error instead of hanging or padding.
+            n_stranded = len(q)
+            while q:
+                q.popleft().future.set_exception(ValueError(
+                    f"{n_stranded} queued request(s) for signature "
+                    f"{oldest_sig} cannot fill the smallest exported "
+                    f"batch size ({sizes[-1]}); export a b1 artifact "
+                    "(export_batch_family includes 1 by default) or send "
+                    "more traffic within max_delay_s"))
+            return None, None
+        take = next(s for s in sizes if s <= len(q))
+        return (oldest_sig, [q.popleft() for _ in range(take)]), None
+
+    def _dispatch_loop(self):
+        while True:
+            with self._lock:
+                group, wait = self._take_group()
+                while group is None:
+                    if self._closed and not any(
+                            self._queues[s] for s in self._queues):
+                        return
+                    self._lock.wait(timeout=wait)
+                    group, wait = self._take_group()
+            sig, reqs = group
+            try:
+                out = self._run_batch(sig, reqs)
+            except Exception as e:  # surface to every caller in the batch
+                for r in reqs:
+                    r.future.set_exception(e)
+                continue
+            t = time.perf_counter()
+            self.stats.dispatches += 1
+            self.stats.batch_histogram[len(reqs)] += 1
+            for i, r in enumerate(reqs):
+                self.stats.queue_wait_s_total += t - r.t_enqueued
+                r.future.set_result(
+                    jax.tree_util.tree_map(lambda o: np.asarray(o)[i], out))
+
+    def _run_batch(self, sig, reqs):
+        n = len(reqs)
+        args = []
+        for j in range(len(reqs[0].args)):
+            if reqs[0].args[j] is None:
+                args.append(None)
+            else:
+                args.append(np.stack([r.args[j] for r in reqs]))
+        out = self.bundle.predict(self.variables, *args)
+        # fetch once for the whole batch (one device->host transfer)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    # -- lifecycle ------------------------------------------------------
+
+    def close(self, drain: bool = True):
+        """Stop the dispatcher. ``drain=True`` serves queued requests
+        first; ``drain=False`` fails them with ``RuntimeError``."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            if not drain:
+                for q in self._queues.values():
+                    while q:
+                        q.popleft().future.set_exception(
+                            RuntimeError("server closed before dispatch"))
+            self._lock.notify_all()
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -1,0 +1,184 @@
+"""Serving layer: dynamic request batching over AOT artifact families.
+
+Covers haet_tpu/serve.py: export_batch_family bundle layout, batched
+dispatch == per-sample direct apply, the batching policy actually batching,
+signature / family error paths, and clean shutdown semantics.
+"""
+
+import sys
+import threading
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from haet_tpu import export as hexport
+from haet_tpu import serve
+from haet_tpu.models import HAETransolver_Irregular_Mesh
+
+N_PTS = 64
+
+
+@pytest.fixture(scope="module")
+def bundle_env(tmp_path_factory):
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
+        n_head=4, slice_num=8, rotate=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    root = str(tmp_path_factory.mktemp("bundle"))
+    serve.export_batch_family(root, model, variables, (x, fx),
+                              batch_sizes=(1, 2, 4))
+    bundle = hexport.ServingBundle.load(root)
+    return model, variables, bundle
+
+
+def _sample(seed):
+    r = np.random.RandomState(seed)
+    return (r.randn(N_PTS, 3).astype(np.float32),
+            r.randn(N_PTS, 1).astype(np.float32))
+
+
+def test_family_layout(bundle_env):
+    _, _, bundle = bundle_env
+    batches = sorted(key[0][0] for key in bundle.shapes())
+    assert batches == [1, 2, 4]
+    # every artifact shares the single-sample signature
+    assert {tuple(tuple(s[1:]) for s in key)
+            for key in bundle.shapes()} == {((N_PTS, 3), (N_PTS, 1))}
+
+
+def test_batched_dispatch_matches_direct_apply(bundle_env):
+    model, variables, bundle = bundle_env
+    with serve.BatchingServer(bundle, variables,
+                              max_delay_s=0.2) as srv:
+        samples = [_sample(i) for i in range(5)]
+        futs = [srv.submit(x, fx) for x, fx in samples]
+        outs = [f.result(timeout=60) for f in futs]
+    for (x, fx), out in zip(samples, outs):
+        direct = model.apply(variables, x[None], fx[None], train=False)
+        np.testing.assert_allclose(out, np.asarray(direct)[0],
+                                   rtol=2e-5, atol=2e-5)
+        assert out.shape == (N_PTS, 2)
+
+
+def test_batching_actually_batches(bundle_env):
+    _, variables, bundle = bundle_env
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=1.0)
+    try:
+        futs = [srv.submit(*_sample(i)) for i in range(4)]
+        for f in futs:
+            f.result(timeout=60)
+        snap = srv.stats.snapshot()
+        # 4 co-batchable requests inside a generous window ride the b4
+        # program in ONE dispatch
+        assert snap["batch_histogram"].get(4) == 1, snap
+        assert snap["dispatches"] == 1
+        assert snap["requests"] == 4
+    finally:
+        srv.close()
+
+
+def test_remainder_rides_smaller_programs(bundle_env):
+    _, variables, bundle = bundle_env
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=1.0)
+    try:
+        # 7 = 4 + 2 + 1 with the greedy largest-first policy (all queued
+        # within the window)
+        futs = [srv.submit(*_sample(i)) for i in range(7)]
+        for f in futs:
+            f.result(timeout=60)
+        hist = srv.stats.snapshot()["batch_histogram"]
+        assert sum(b * c for b, c in hist.items()) == 7
+        assert hist.get(4) == 1, hist
+    finally:
+        srv.close()
+
+
+def test_unknown_signature_raises(bundle_env):
+    _, variables, bundle = bundle_env
+    with serve.BatchingServer(bundle, variables) as srv:
+        with pytest.raises(ValueError, match="no artifact family"):
+            srv.submit(np.zeros((N_PTS + 1, 3), np.float32),
+                       np.zeros((N_PTS + 1, 1), np.float32))
+
+
+def test_family_without_b1_fails_stranded_requests(bundle_env, tmp_path):
+    model, variables, _ = bundle_env
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    root = str(tmp_path / "no_b1")
+    serve.export_batch_family(root, model, variables, (x, fx),
+                              batch_sizes=(2,))
+    bundle = hexport.ServingBundle.load(root)
+    with serve.BatchingServer(bundle, variables,
+                              max_delay_s=0.01) as srv:
+        fut = srv.submit(*_sample(0))
+        with pytest.raises(ValueError, match="smallest exported batch"):
+            fut.result(timeout=60)
+
+
+def test_close_drain_false_fails_queued(bundle_env):
+    _, variables, bundle = bundle_env
+    # huge delay so requests stay queued until close
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=60.0)
+    futs = [srv.submit(*_sample(i)) for i in range(2)]
+    srv.close(drain=False)
+    for f in futs:
+        with pytest.raises(RuntimeError, match="server closed"):
+            f.result(timeout=10)
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(*_sample(9))
+
+
+def test_close_drain_serves_queued(bundle_env):
+    model, variables, bundle = bundle_env
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=60.0)
+    futs = [srv.submit(*_sample(i)) for i in range(3)]
+    srv.close(drain=True)  # drain overrides the 60 s window
+    outs = [f.result(timeout=10) for f in futs]
+    assert all(o.shape == (N_PTS, 2) for o in outs)
+
+
+def test_concurrent_clients(bundle_env):
+    model, variables, bundle = bundle_env
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=0.02)
+    results = {}
+    errs = []
+
+    def client(i):
+        try:
+            results[i] = srv.predict(*_sample(i), timeout=60)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    srv.close()
+    assert not errs
+    for i in range(8):
+        x, fx = _sample(i)
+        direct = model.apply(variables, x[None], fx[None], train=False)
+        np.testing.assert_allclose(results[i], np.asarray(direct)[0],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_queue_backpressure(bundle_env):
+    _, variables, bundle = bundle_env
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=60.0,
+                               max_queue=2)
+    f1 = srv.submit(*_sample(0))
+    f2 = srv.submit(*_sample(1))
+    with pytest.raises(RuntimeError, match="queue full"):
+        srv.submit(*_sample(2))
+    srv.close(drain=True)
+    f1.result(timeout=10), f2.result(timeout=10)
