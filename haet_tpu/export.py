@@ -185,6 +185,29 @@ class ExportedModel:
         self._check(args)
         return self._call(variables, *args)
 
+    def bind(self, variables):
+        """Pre-bind ``variables``: returns ``fn(*args)`` with the weights
+        baked into the compiled executable as constants.
+
+        The generic ``__call__`` passes every weight leaf as a runtime
+        argument — flexible (one artifact, any checkpoint) but each
+        dispatch then marshals the whole parameter tree through the
+        runtime's argument path. For a server that holds ONE checkpoint,
+        binding moves the weights into the executable: measured on the
+        v5e via benchmarks/micro_serving_latency.py, the bound flagship
+        artifact dispatches ~2x faster than the argument-passing path
+        (see docs/benchmarks.md "Serving latency").
+        """
+        exported = self.exported
+        call = jax.jit(lambda *a: exported.call(variables, *a))
+
+        def fn(*args):
+            args = tuple(a for a in args if a is not None)
+            self._check(args)
+            return call(*args)
+
+        return fn
+
 
 def load_artifact(path: str) -> ExportedModel:
     from jax import export as jexport
@@ -232,3 +255,37 @@ class ServingBundle:
                 f"no artifact for input shapes {key}; "
                 f"available: {self.shapes()}")
         return m(variables, *args)
+
+    def bind(self, variables) -> "BoundBundle":
+        """Pre-bind one checkpoint into every artifact (see
+        :meth:`ExportedModel.bind`): returns a :class:`BoundBundle` whose
+        ``predict(*args)`` dispatches weight-free. This is what a server
+        holding a single checkpoint should use
+        (:class:`haet_tpu.serve.BatchingServer` does it automatically)."""
+        return BoundBundle(self, variables)
+
+
+class BoundBundle:
+    """A :class:`ServingBundle` with one checkpoint baked in; binding is
+    lazy per signature (first dispatch of a shape compiles its bound
+    program)."""
+
+    def __init__(self, bundle: ServingBundle, variables):
+        self._bundle = bundle
+        self._variables = variables
+        self._bound = {}
+
+    def shapes(self):
+        return self._bundle.shapes()
+
+    def predict(self, *args):
+        key = tuple(tuple(np.shape(a)) for a in args if a is not None)
+        fn = self._bound.get(key)
+        if fn is None:
+            m = self._bundle._by_key.get(key)
+            if m is None:
+                raise ValueError(
+                    f"no artifact for input shapes {key}; "
+                    f"available: {self.shapes()}")
+            fn = self._bound[key] = m.bind(self._variables)
+        return fn(*args)

@@ -137,6 +137,11 @@ class BatchingServer:
                  max_queue: int = 1024):
         self.bundle = bundle
         self.variables = variables
+        # the server holds ONE checkpoint: bake it into the executables
+        # (ExportedModel.bind — ~2x faster dispatch than re-marshalling
+        # the weight tree every call) when the bundle supports it.
+        self._bound = (bundle.bind(variables)
+                       if hasattr(bundle, "bind") else None)
         self.max_delay_s = float(max_delay_s)
         self.max_queue = int(max_queue)
         self.stats = ServerStats()
@@ -264,7 +269,10 @@ class BatchingServer:
                 args.append(None)
             else:
                 args.append(np.stack([r.args[j] for r in reqs]))
-        out = self.bundle.predict(self.variables, *args)
+        if self._bound is not None:
+            out = self._bound.predict(*args)
+        else:
+            out = self.bundle.predict(self.variables, *args)
         # fetch once for the whole batch (one device->host transfer)
         return jax.tree_util.tree_map(np.asarray, out)
 

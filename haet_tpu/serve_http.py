@@ -1,0 +1,184 @@
+"""Minimal HTTP front-end for the dynamic-batching server (stdlib only).
+
+Completes the deployment story: ``haet_tpu.export`` produces the AOT
+artifacts, :mod:`haet_tpu.serve` batches requests on-device, and this
+module exposes them over HTTP without any extra dependency —
+``http.server.ThreadingHTTPServer`` gives one thread per connection, and
+because every handler just blocks on ``BatchingServer.predict``,
+concurrent HTTP requests co-batch onto the largest exported program
+automatically.
+
+Protocol (binary, numpy-native — JSON would 4x the payload for float
+data):
+
+* ``POST /predict`` — body is an ``.npz`` archive with the positional
+  model inputs under keys ``arg0``, ``arg1``, … (single-sample shapes,
+  no batch axis; omit absent optional inputs). Response is an ``.npz``
+  with the model output under ``output``. Shape misses are 400 with the
+  server's explanatory message; everything else is 500.
+* ``GET /healthz`` — 200 ``ok`` once the server accepts requests.
+* ``GET /shapes`` — JSON: the single-sample signatures served.
+* ``GET /stats`` — JSON: request/dispatch counters and the batch-size
+  histogram.
+
+CLI::
+
+    python -m haet_tpu.serve_http --bundle ARTIFACT_DIR \
+        --checkpoint RUN_DIR [--which best] [--port 8000] \
+        [--max_delay_ms 2]
+
+The checkpoint is read with :meth:`haet_tpu.train.Checkpointer.
+restore_raw`; a ``--pp`` run's stacked pipeline layout is converted
+automatically (``parallel.pipeline.merge_variables``), mirroring
+``benchmarks/car_eval.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .serve import BatchingServer
+
+__all__ = ["make_server", "main"]
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
+                port: int = 8000) -> ThreadingHTTPServer:
+    """Wrap a running :class:`BatchingServer` in a ThreadingHTTPServer.
+
+    Returns the (not yet started) HTTP server; call ``serve_forever()``
+    (typically on a thread) and ``shutdown()``/``server_close()`` to
+    stop. The caller owns the BatchingServer lifecycle.
+    """
+
+    class Handler(BaseHTTPRequestHandler):
+        # one log line per request is noise at serving rates
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/shapes":
+                sigs = sorted(batching_server._sizes_by_sig)
+                self._send_json(200, {"signatures": [
+                    [list(s) for s in sig] for sig in sigs]})
+            elif self.path == "/stats":
+                self._send_json(200, batching_server.stats.snapshot())
+            else:
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/predict":
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                with np.load(io.BytesIO(self.rfile.read(length))) as z:
+                    keys = sorted(z.files)
+                    expect = [f"arg{i}" for i in range(len(keys))]
+                    if keys != expect:
+                        raise ValueError(
+                            f"npz keys must be arg0..argN, got {keys}")
+                    args = [z[k] for k in expect]
+            except ValueError as e:
+                self._send_json(400, {"error": str(e)})
+                return
+            try:
+                out = batching_server.predict(*args)
+            except ValueError as e:  # unknown signature / stranded batch
+                self._send_json(400, {"error": str(e)})
+                return
+            except Exception as e:  # pragma: no cover - surfaced verbatim
+                self._send_json(500, {"error": repr(e)})
+                return
+            self._send(200, _npz_bytes(output=np.asarray(out)),
+                       "application/octet-stream")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def _load_variables(checkpoint: str, which: str):
+    from .train.checkpoint import Checkpointer
+
+    raw = Checkpointer(checkpoint).restore_raw(which)
+    if raw is None:
+        raise FileNotFoundError(
+            f"no '{which}' checkpoint under {checkpoint}")
+    params = raw.get("params", raw)  # plain variables trees work too
+    variables = {"params": params,
+                 "batch_stats": raw.get("batch_stats") or {}}
+    if "layers" in (params or {}):
+        # a --pp run's stacked pipeline layout (train/checkpoint.py
+        # restore_raw docstring): convert to the plain per-block layout.
+        # n_layers is the leading (stacked) axis of any layer leaf.
+        import jax
+
+        from .parallel.pipeline import merge_variables
+
+        n_layers = int(
+            jax.tree_util.tree_leaves(params["layers"])[0].shape[0])
+        variables = merge_variables(variables, n_layers)
+        variables.setdefault("batch_stats", {})
+    return variables
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--bundle", required=True,
+                    help="ServingBundle root (export_batch_family output)")
+    ap.add_argument("--checkpoint", required=True,
+                    help="training run dir holding orbax checkpoints")
+    ap.add_argument("--which", default="best",
+                    help="checkpoint name: best / last / epoch_N")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max_delay_ms", type=float, default=2.0)
+    ap.add_argument("--max_queue", type=int, default=1024)
+    args = ap.parse_args(argv)
+
+    from .export import ServingBundle
+
+    bundle = ServingBundle.load(args.bundle)
+    variables = _load_variables(args.checkpoint, args.which)
+    with BatchingServer(bundle, variables,
+                        max_delay_s=args.max_delay_ms / 1e3,
+                        max_queue=args.max_queue) as srv:
+        httpd = make_server(srv, args.host, args.port)
+        print(f"serving {len(bundle.shapes())} artifact(s) on "
+              f"http://{args.host}:{httpd.server_address[1]} "
+              f"(max_delay={args.max_delay_ms} ms)")
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

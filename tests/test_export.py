@@ -178,3 +178,39 @@ def test_pipeline_checkpoint_exports_and_serves(tmp_path):
     ref = model.apply(merged, x, fx)
     np.testing.assert_allclose(np.asarray(served), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bind_matches_argument_path(tmp_path):
+    """ExportedModel.bind bakes the weights into the executable; outputs
+    must be bitwise what the argument-passing path produces, and the shape
+    guard must survive binding."""
+    model, v, x, fx = _tiny()
+    em = load_artifact(save_artifact(str(tmp_path / "art"), model, v,
+                                     (x, fx)))
+    bound = em.bind(v)
+    # constant-folding the weights legitimately reassociates a few f32
+    # ops — equality is to f32 noise, not bitwise (measured 1e-7)
+    np.testing.assert_allclose(np.asarray(bound(x, fx)),
+                               np.asarray(em(v, x, fx)),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        bound(x[:, :128], fx[:, :128])
+
+
+def test_bound_bundle_predict(tmp_path):
+    """ServingBundle.bind: per-signature lazy binding, same outputs, same
+    shape-miss error."""
+    model, v, x, fx = _tiny()
+    for b in (1, 2):
+        save_artifact(str(tmp_path / f"b{b}"), model, v,
+                      (x[:b], fx[:b]))
+    bundle = ServingBundle.load(str(tmp_path))
+    bb = bundle.bind(v)
+    assert bb.shapes() == bundle.shapes()
+    for b in (1, 2):
+        np.testing.assert_allclose(
+            np.asarray(bb.predict(x[:b], fx[:b])),
+            np.asarray(bundle.predict(v, x[:b], fx[:b])),
+            rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="no artifact"):
+        bb.predict(x[:, :128], fx[:, :128])

@@ -1,0 +1,182 @@
+"""HTTP front-end for the batching server (haet_tpu/serve_http.py).
+
+Runs a real ThreadingHTTPServer on an ephemeral port and drives it with
+urllib: npz round trip == direct apply, concurrent posts co-batch, error
+paths map to 400, health/shape/stats endpoints, and the checkpoint loader
+(incl. the pipeline stacked-layout auto-convert).
+"""
+
+import io
+import json
+import sys
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from haet_tpu import serve, serve_http
+from haet_tpu.export import ServingBundle
+from haet_tpu.models import HAETransolver_Irregular_Mesh
+
+N_PTS = 64
+
+
+@pytest.fixture(scope="module")
+def http_env(tmp_path_factory):
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
+        n_head=4, slice_num=8, rotate=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    root = str(tmp_path_factory.mktemp("bundle"))
+    serve.export_batch_family(root, model, variables, (x, fx),
+                              batch_sizes=(1, 4))
+    bundle = ServingBundle.load(root)
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=0.05)
+    httpd = serve_http.make_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield model, variables, f"http://127.0.0.1:{port}", srv
+    httpd.shutdown()
+    httpd.server_close()
+    srv.close()
+
+
+def _post_predict(base, arrays, timeout=120):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    req = urllib.request.Request(
+        base + "/predict", data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        assert r.status == 200
+        with np.load(io.BytesIO(r.read())) as z:
+            return z["output"]
+
+
+def _sample(seed):
+    r = np.random.RandomState(seed)
+    return (r.randn(N_PTS, 3).astype(np.float32),
+            r.randn(N_PTS, 1).astype(np.float32))
+
+
+def test_health_shapes_stats(http_env):
+    _, _, base, _ = http_env
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        assert r.read() == b"ok"
+    with urllib.request.urlopen(base + "/shapes", timeout=30) as r:
+        sigs = json.load(r)["signatures"]
+    assert sigs == [[[N_PTS, 3], [N_PTS, 1]]]
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        snap = json.load(r)
+    assert {"requests", "dispatches", "batch_histogram"} <= set(snap)
+
+
+def test_predict_round_trip(http_env):
+    model, variables, base, _ = http_env
+    x, fx = _sample(0)
+    out = _post_predict(base, {"arg0": x, "arg1": fx})
+    direct = model.apply(variables, x[None], fx[None], train=False)
+    np.testing.assert_allclose(out, np.asarray(direct)[0],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_concurrent_posts_cobatch(http_env):
+    model, variables, base, srv = http_env
+    before = dict(srv.stats.batch_histogram)
+    results = {}
+
+    def client(i):
+        x, fx = _sample(i)
+        results[i] = _post_predict(base, {"arg0": x, "arg1": fx})
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        x, fx = _sample(i)
+        direct = model.apply(variables, x[None], fx[None], train=False)
+        np.testing.assert_allclose(results[i], np.asarray(direct)[0],
+                                   rtol=2e-5, atol=2e-5)
+    # at least one multi-sample dispatch happened across the 4 posts
+    after = srv.stats.batch_histogram
+    multi = sum(c for b, c in after.items() if b > 1) - \
+        sum(c for b, c in before.items() if b > 1)
+    assert multi >= 1, dict(after)
+
+
+def test_bad_signature_is_400(http_env):
+    _, _, base, _ = http_env
+    x, fx = _sample(0)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_predict(base, {"arg0": x[: N_PTS // 2], "arg1": fx})
+    assert ei.value.code == 400
+    assert "no artifact family" in json.load(ei.value)["error"]
+
+
+def test_bad_keys_is_400(http_env):
+    _, _, base, _ = http_env
+    x, fx = _sample(0)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_predict(base, {"foo": x, "bar": fx})
+    assert ei.value.code == 400
+    assert "arg0..argN" in json.load(ei.value)["error"]
+
+
+def test_unknown_path_is_404(http_env):
+    _, _, base, _ = http_env
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(base + "/nope", timeout=30)
+    assert ei.value.code == 404
+
+
+def test_load_variables_plain_and_pipeline(tmp_path):
+    """_load_variables restores a Trainer checkpoint; the stacked
+    pipeline layout converts automatically with n_layers inferred from
+    the leading axis."""
+    from haet_tpu.train.checkpoint import Checkpointer
+
+    # plain layout
+    ck = Checkpointer(str(tmp_path / "plain"))
+    state = {"params": {"blocks_0": {"w": np.ones((2, 2), np.float32)}},
+             "batch_stats": {}}
+    ck.save_last(state, epoch=0)
+    ck.wait()
+    v = serve_http._load_variables(str(tmp_path / "plain"), "last")
+    np.testing.assert_array_equal(v["params"]["blocks_0"]["w"],
+                                  np.ones((2, 2), np.float32))
+
+    # pipeline stacked layout: {pre, layers (stacked), head}
+    ck2 = Checkpointer(str(tmp_path / "pp"))
+    stacked = {
+        "params": {
+            "pre": {"preprocess": {"w": np.zeros((2,), np.float32)}},
+            "layers": {"attn": {"w": np.arange(6, dtype=np.float32)
+                                .reshape(3, 2)}},
+            "head": {"out": {"w": np.ones((2,), np.float32)}},
+        },
+        "batch_stats": {},
+    }
+    ck2.save_last(stacked, epoch=0)
+    ck2.wait()
+    v2 = serve_http._load_variables(str(tmp_path / "pp"), "last")
+    assert set(v2["params"]) == {"preprocess", "blocks_0", "blocks_1",
+                                 "blocks_2"}
+    np.testing.assert_array_equal(v2["params"]["blocks_1"]["attn"]["w"],
+                                  np.array([2.0, 3.0], np.float32))
+    # the head params merge into the LAST block
+    assert "out" in v2["params"]["blocks_2"]
+
+    with pytest.raises(FileNotFoundError):
+        serve_http._load_variables(str(tmp_path / "missing"), "last")
