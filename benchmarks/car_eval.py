@@ -77,15 +77,15 @@ def main(args):
             raw = ckpt.restore_raw(args.which)
             if raw is None or "layers" not in (raw.get("params") or {}):
                 raise
-            from haet_tpu.parallel.pipeline import merge_variables
+            from haet_tpu.parallel.pipeline import merge_raw_variables
 
-            merged = merge_variables(
-                {"params": raw["params"],
-                 "batch_stats": raw.get("batch_stats") or {}},
-                cfg.model.n_layers)
+            merged = merge_raw_variables(raw)
             restored = state.replace(
                 params=merged["params"],
-                batch_stats=merged.get("batch_stats", state.batch_stats))
+                batch_stats=(merged["batch_stats"]
+                             if jax.tree_util.tree_leaves(
+                                 merged["batch_stats"])
+                             else state.batch_stats))
             print("[car_eval] converted a --pp pipeline-layout checkpoint "
                   "to the plain model layout")
         if restored is None:

@@ -77,26 +77,24 @@ def main():
                                   batch_sizes=(1, 2, 4, 8))
         bundle = ServingBundle.load(td)
 
-        def run_sequential():
-            srv = serve.BatchingServer(bundle, variables, max_delay_s=0.0,
+        # ONE server per mode, reused across rounds (fresh servers would
+        # re-jit their bound programs each round); warmup() compiles every
+        # exported batch size deterministically BEFORE any timed window.
+        srv_seq = serve.BatchingServer(bundle, variables, max_delay_s=0.0,
                                        max_queue=4 * args.requests)
-            # warm (compile b1)
-            srv.predict(samples[0], timeout=600)
+        srv_bat = serve.BatchingServer(
+            bundle, variables, max_delay_s=args.max_delay_ms / 1e3,
+            max_queue=4 * args.requests)
+        srv_seq.warmup()
+        srv_bat.warmup()
+
+        def run_sequential():
             t0 = time.perf_counter()
             for s in samples:
-                srv.predict(s, timeout=600)
-            dt = time.perf_counter() - t0
-            srv.close()
-            return dt
+                srv_seq.predict(s, timeout=600)
+            return time.perf_counter() - t0
 
         def run_batched():
-            srv = serve.BatchingServer(
-                bundle, variables, max_delay_s=args.max_delay_ms / 1e3,
-                max_queue=4 * args.requests)
-            # warm every program the policy can pick (compile b1..b8)
-            warm = [srv.submit(s) for s in samples[:8]]
-            for f in warm:
-                f.result(timeout=600)
             per = (args.requests + args.clients - 1) // args.clients
             chunks = [samples[i * per:(i + 1) * per]
                       for i in range(args.clients)]
@@ -104,10 +102,11 @@ def main():
             lock = threading.Lock()
 
             def client(chunk):
-                fs = [srv.submit(s) for s in chunk]
+                fs = [srv_bat.submit(s) for s in chunk]
                 with lock:
                     futs_all.extend(fs)
 
+            before = dict(srv_bat.stats.batch_histogram)
             t0 = time.perf_counter()
             threads = [threading.Thread(target=client, args=(c,))
                        for c in chunks if c]
@@ -118,17 +117,19 @@ def main():
             for f in futs_all:
                 f.result(timeout=600)
             dt = time.perf_counter() - t0
-            hist = dict(srv.stats.batch_histogram)
-            srv.close()
+            hist = {b: c - before.get(b, 0)
+                    for b, c in srv_bat.stats.batch_histogram.items()
+                    if c - before.get(b, 0)}
             return dt, hist
 
-        run_sequential()  # warm both paths before the timed rounds
         best_seq, best_bat, hist = float("inf"), float("inf"), {}
         for _ in range(args.rounds):
             best_seq = min(best_seq, run_sequential())
             dt, h = run_batched()
             if dt < best_bat:
                 best_bat, hist = dt, h
+        srv_seq.close()
+        srv_bat.close()
 
     rps_seq = args.requests / best_seq
     rps_bat = args.requests / best_bat

@@ -121,6 +121,27 @@ def split_variables(variables, n_layers: int) -> dict:
     return out
 
 
+def merge_raw_variables(raw) -> dict:
+    """Convert a RAW restored checkpoint tree in the stacked pipeline
+    layout (``params = {pre, layers, head}``; ``Checkpointer.restore_raw``
+    output) to standard model variables, inferring ``n_layers`` from the
+    stacked leading axis. One helper for everything that reads --pp
+    checkpoints unpipelined (``benchmarks/car_eval.py``,
+    ``haet_tpu.serve_http``) so the layout conversion cannot drift between
+    eval and serving."""
+    params = raw.get("params", raw)
+    if "layers" not in (params or {}):
+        raise ValueError(
+            "not a stacked pipeline checkpoint: params has no 'layers' "
+            f"subtree (keys: {sorted(params or {})})")
+    n_layers = int(jax.tree_util.tree_leaves(params["layers"])[0].shape[0])
+    merged = merge_variables(
+        {"params": params, "batch_stats": raw.get("batch_stats") or {}},
+        n_layers)
+    merged.setdefault("batch_stats", {})
+    return merged
+
+
 def merge_variables(pvars, n_layers: int) -> dict:
     """Pipeline layout -> standard model variables (checkpoint interchange,
     e.g. to evaluate an unpipelined copy or export via haet_tpu.export)."""

@@ -68,10 +68,16 @@ def export_batch_family(
     ``example_args`` carries the SINGLE-sample signature: arrays shaped
     ``[1, ...]`` (or ``None`` for absent optional inputs, e.g. ``fx``).
     Each batch size re-exports the same program with the leading axis set
-    to ``b`` — identical weights, one compile per size.
+    to ``b`` — identical weights, one compile per size. Artifact subdirs
+    are named by batch size AND sample signature, so several signatures
+    (shape buckets) can export into the same bundle root without
+    colliding.
     """
     import os
 
+    sig_tag = "_".join(
+        "x".join(str(d) for d in np.shape(a)[1:])
+        for a in example_args if a is not None)
     for b in sorted(set(int(b) for b in batch_sizes)):
         if b < 1:
             raise ValueError(f"batch sizes must be >= 1, got {b}")
@@ -81,7 +87,7 @@ def export_batch_family(
             for a in example_args
         )
         hexport.save_artifact(
-            os.path.join(path, f"b{b}"), model, variables, ex_b,
+            os.path.join(path, f"b{b}_{sig_tag}"), model, variables, ex_b,
             platforms=platforms,
             extra_manifest={"batch_size": b},
         )
@@ -149,13 +155,25 @@ class BatchingServer:
         # batch sizes available per single-sample signature:
         # sig = shapes with the leading (batch) axis stripped
         self._sizes_by_sig: dict = {}
+        # expected input dtypes per signature (from artifact manifests,
+        # when the bundle carries them) — wrong-dtype requests must be
+        # rejected at submit, BEFORE they co-batch with valid traffic
+        self._dtypes_by_sig: dict = {}
         for key in bundle.shapes():
+            if any(len(s) == 0 for s in key):
+                continue  # scalar input: no batch axis to group over
             batches = {s[0] for s in key}
             if len(batches) != 1:
                 continue  # mixed leading axes: not a batchable signature
             sig = tuple(tuple(s[1:]) for s in key)
             self._sizes_by_sig.setdefault(sig, []).append(
                 int(batches.pop()))
+            model = getattr(bundle, "_by_key", {}).get(key)
+            dts = (model.manifest.get("input_dtypes")
+                   if model is not None and hasattr(model, "manifest")
+                   else None)
+            if dts is not None:
+                self._dtypes_by_sig.setdefault(sig, tuple(dts))
         for sig in self._sizes_by_sig:
             self._sizes_by_sig[sig].sort(reverse=True)
 
@@ -180,7 +198,19 @@ class BatchingServer:
             raise ValueError(
                 f"no artifact family for sample signature {sig}; "
                 f"available: {sorted(self._sizes_by_sig)}")
-        req = _Request(arrs, sig)
+        dtypes = tuple(a.dtype.name for a in arrs if a is not None)
+        want = self._dtypes_by_sig.get(sig)
+        if want is not None and dtypes != want:
+            # reject HERE: a wrong-dtype sample that reached a batch would
+            # promote the whole np.stack and fail every co-batched request
+            raise ValueError(
+                f"dtype mismatch: artifact family expects {want}, got "
+                f"{dtypes}. Cast the inputs explicitly (no implicit casts "
+                "at the serving boundary).")
+        # co-batching key: shapes AND dtypes AND the None positions — only
+        # requests whose arg tuples np.stack cleanly may share a batch
+        none_mask = tuple(a is None for a in arrs)
+        req = _Request(arrs, (sig, dtypes, none_mask))
         with self._lock:
             if self._closed:
                 raise RuntimeError("server is closed")
@@ -188,7 +218,7 @@ class BatchingServer:
             if depth >= self.max_queue:
                 raise RuntimeError(
                     f"queue full ({depth} >= max_queue={self.max_queue})")
-            self._queues[sig].append(req)
+            self._queues[req.key].append(req)
             self.stats.requests += 1
             self._lock.notify()
         return req.future
@@ -199,42 +229,65 @@ class BatchingServer:
 
     # -- dispatcher side ------------------------------------------------
 
-    def _take_group(self):
-        """Under the lock: pick (sig, [requests]) to dispatch, or None.
+    @staticmethod
+    def _deliver(future: Future, fn, *args):
+        """set_result/set_exception tolerant of client-cancelled futures
+        (an InvalidStateError here would kill the dispatcher thread and
+        hang every later request)."""
+        try:
+            fn(future, *args)
+        except Exception:
+            pass  # future was cancelled by its client: nothing to deliver
 
-        Policy: serve the signature whose oldest request has waited
-        longest; take the largest exported batch size the queue can fill,
-        but only dispatch a partial wait window if the oldest request has
-        aged past ``max_delay_s`` OR the largest batch is already full.
+    def _take_group(self):
+        """Under the lock: pick (key, [requests]) to dispatch, or
+        ``(None, wait_seconds_or_None)``.
+
+        Policy: every queue is scanned — a queue is *ready* once it can
+        fill its largest exported batch, or once its oldest request has
+        aged past ``max_delay_s`` (or the server is draining). Among ready
+        queues the one with the oldest head dispatches first (no
+        head-of-line blocking: a full batch for one signature never waits
+        out another signature's delay window). The returned wait is the
+        smallest remaining delay across non-ready queues.
         """
         now = time.perf_counter()
-        oldest_sig, oldest_t = None, None
-        for sig, q in self._queues.items():
-            if q and (oldest_t is None or q[0].t_enqueued < oldest_t):
-                oldest_sig, oldest_t = sig, q[0].t_enqueued
-        if oldest_sig is None:
-            return None, None  # nothing queued
-        sizes = self._sizes_by_sig[oldest_sig]
-        q = self._queues[oldest_sig]
-        aged = now - oldest_t >= self.max_delay_s or self._closed
-        if len(q) < sizes[0] and not aged:
-            # let traffic accumulate toward the biggest program
-            return None, self.max_delay_s - (now - oldest_t)
+        pick, pick_t = None, None
+        wait = None
+        for key, q in self._queues.items():
+            if not q:
+                continue
+            sizes = self._sizes_by_sig[key[0]]
+            head_t = q[0].t_enqueued
+            ready = (len(q) >= sizes[0]
+                     or now - head_t >= self.max_delay_s
+                     or self._closed)
+            if ready:
+                if pick_t is None or head_t < pick_t:
+                    pick, pick_t = key, head_t
+            else:
+                remaining = self.max_delay_s - (now - head_t)
+                wait = remaining if wait is None else min(wait, remaining)
+        if pick is None:
+            return None, wait
+        sizes = self._sizes_by_sig[pick[0]]
+        q = self._queues[pick]
         if len(q) < sizes[-1]:
             # aged out below the SMALLEST exported batch (family without a
             # b1 artifact): no program can ever serve these alone — fail
             # fast with a clear error instead of hanging or padding.
             n_stranded = len(q)
             while q:
-                q.popleft().future.set_exception(ValueError(
-                    f"{n_stranded} queued request(s) for signature "
-                    f"{oldest_sig} cannot fill the smallest exported "
-                    f"batch size ({sizes[-1]}); export a b1 artifact "
-                    "(export_batch_family includes 1 by default) or send "
-                    "more traffic within max_delay_s"))
-            return None, None
+                self._deliver(
+                    q.popleft().future, Future.set_exception, ValueError(
+                        f"{n_stranded} queued request(s) for signature "
+                        f"{pick[0]} cannot fill the smallest exported "
+                        f"batch size ({sizes[-1]}); export a b1 artifact "
+                        "(export_batch_family includes 1 by default) or "
+                        "send more traffic within max_delay_s"))
+            return None, wait
         take = next(s for s in sizes if s <= len(q))
-        return (oldest_sig, [q.popleft() for _ in range(take)]), None
+        return (pick, [q.popleft() for _ in range(take)]), wait
 
     def _dispatch_loop(self):
         while True:
@@ -246,23 +299,23 @@ class BatchingServer:
                         return
                     self._lock.wait(timeout=wait)
                     group, wait = self._take_group()
-            sig, reqs = group
+            _, reqs = group
             try:
-                out = self._run_batch(sig, reqs)
+                out = self._run_batch(reqs)
             except Exception as e:  # surface to every caller in the batch
                 for r in reqs:
-                    r.future.set_exception(e)
+                    self._deliver(r.future, Future.set_exception, e)
                 continue
             t = time.perf_counter()
             self.stats.dispatches += 1
             self.stats.batch_histogram[len(reqs)] += 1
             for i, r in enumerate(reqs):
                 self.stats.queue_wait_s_total += t - r.t_enqueued
-                r.future.set_result(
+                self._deliver(
+                    r.future, Future.set_result,
                     jax.tree_util.tree_map(lambda o: np.asarray(o)[i], out))
 
-    def _run_batch(self, sig, reqs):
-        n = len(reqs)
+    def _run_batch(self, reqs):
         args = []
         for j in range(len(reqs[0].args)):
             if reqs[0].args[j] is None:
@@ -276,6 +329,24 @@ class BatchingServer:
         # fetch once for the whole batch (one device->host transfer)
         return jax.tree_util.tree_map(np.asarray, out)
 
+    def warmup(self):
+        """Compile every exported program (all signatures x batch sizes)
+        with zero-filled samples so no live request pays a cold compile.
+        Requires the bundle's manifests to carry input dtypes (artifacts
+        written by this package always do); families without dtype info
+        are skipped and compile on first dispatch instead."""
+        for sig, sizes in self._sizes_by_sig.items():
+            dtypes = self._dtypes_by_sig.get(sig)
+            if dtypes is None:
+                continue
+            for b in sizes:
+                batch = tuple(np.zeros((b,) + shape, dtype=dt)
+                              for shape, dt in zip(sig, dtypes))
+                if self._bound is not None:
+                    self._bound.predict(*batch)
+                else:
+                    self.bundle.predict(self.variables, *batch)
+
     # -- lifecycle ------------------------------------------------------
 
     def close(self, drain: bool = True):
@@ -288,7 +359,8 @@ class BatchingServer:
             if not drain:
                 for q in self._queues.values():
                     while q:
-                        q.popleft().future.set_exception(
+                        self._deliver(
+                            q.popleft().future, Future.set_exception,
                             RuntimeError("server closed before dispatch"))
             self._lock.notify_all()
         self._thread.join()

@@ -39,7 +39,7 @@ import argparse
 import io
 import json
 import sys
-import threading
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -56,12 +56,16 @@ def _npz_bytes(**arrays) -> bytes:
 
 
 def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
-                port: int = 8000) -> ThreadingHTTPServer:
+                port: int = 8000, *,
+                request_timeout_s: float = 300.0) -> ThreadingHTTPServer:
     """Wrap a running :class:`BatchingServer` in a ThreadingHTTPServer.
 
     Returns the (not yet started) HTTP server; call ``serve_forever()``
     (typically on a thread) and ``shutdown()``/``server_close()`` to
     stop. The caller owns the BatchingServer lifecycle.
+    ``request_timeout_s`` bounds how long one POST may wait on the
+    batcher before answering 504 (handler threads must not pin forever
+    if a dispatch hangs).
     """
 
     class Handler(BaseHTTPRequestHandler):
@@ -104,13 +108,26 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
                         raise ValueError(
                             f"npz keys must be arg0..argN, got {keys}")
                     args = [z[k] for k in expect]
-            except ValueError as e:
-                self._send_json(400, {"error": str(e)})
+            except Exception as e:
+                # anything unparseable is the CLIENT's error: zipfile.
+                # BadZipFile / CRC OSError / pickle refusals are not
+                # ValueError subclasses — without this breadth they would
+                # crash the handler and reset the connection with no
+                # status code.
+                self._send_json(400, {"error": f"bad request body: {e}"})
                 return
             try:
-                out = batching_server.predict(*args)
+                out = batching_server.predict(*args,
+                                              timeout=request_timeout_s)
             except ValueError as e:  # unknown signature / stranded batch
                 self._send_json(400, {"error": str(e)})
+                return
+            except FuturesTimeoutError:
+                # a hung device dispatch (or a dead dispatcher) must not
+                # pin handler threads forever — fail the request instead
+                self._send_json(504, {
+                    "error": f"prediction did not complete within "
+                             f"{request_timeout_s} s"})
                 return
             except Exception as e:  # pragma: no cover - surfaced verbatim
                 self._send_json(500, {"error": repr(e)})
@@ -133,16 +150,10 @@ def _load_variables(checkpoint: str, which: str):
                  "batch_stats": raw.get("batch_stats") or {}}
     if "layers" in (params or {}):
         # a --pp run's stacked pipeline layout (train/checkpoint.py
-        # restore_raw docstring): convert to the plain per-block layout.
-        # n_layers is the leading (stacked) axis of any layer leaf.
-        import jax
+        # restore_raw docstring): convert to the plain per-block layout
+        from .parallel.pipeline import merge_raw_variables
 
-        from .parallel.pipeline import merge_variables
-
-        n_layers = int(
-            jax.tree_util.tree_leaves(params["layers"])[0].shape[0])
-        variables = merge_variables(variables, n_layers)
-        variables.setdefault("batch_stats", {})
+        variables = merge_raw_variables(raw)
     return variables
 
 
@@ -158,6 +169,13 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_delay_ms", type=float, default=2.0)
     ap.add_argument("--max_queue", type=int, default=1024)
+    ap.add_argument("--request_timeout_s", type=float, default=300.0,
+                    help="bound one request's wait on the batcher "
+                         "(504 after this)")
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="compile every exported program before "
+                         "accepting traffic (no cold-compile on the "
+                         "first requests)")
     args = ap.parse_args(argv)
 
     from .export import ServingBundle
@@ -167,7 +185,11 @@ def main(argv=None):
     with BatchingServer(bundle, variables,
                         max_delay_s=args.max_delay_ms / 1e3,
                         max_queue=args.max_queue) as srv:
-        httpd = make_server(srv, args.host, args.port)
+        if args.warmup:
+            print("warming up (compiling every exported program)...")
+            srv.warmup()
+        httpd = make_server(srv, args.host, args.port,
+                            request_timeout_s=args.request_timeout_s)
         print(f"serving {len(bundle.shapes())} artifact(s) on "
               f"http://{args.host}:{httpd.server_address[1]} "
               f"(max_delay={args.max_delay_ms} ms)")

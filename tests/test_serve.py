@@ -182,3 +182,99 @@ def test_queue_backpressure(bundle_env):
         srv.submit(*_sample(2))
     srv.close(drain=True)
     f1.result(timeout=10), f2.result(timeout=10)
+
+
+def test_cancelled_future_does_not_kill_dispatcher(bundle_env):
+    """A client cancelling its Future must not crash the dispatcher
+    thread (set_result on a cancelled future raises InvalidStateError) —
+    later requests must still be served and close() must not hang."""
+    _, variables, bundle = bundle_env
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=0.5)
+    try:
+        doomed = srv.submit(*_sample(0))
+        assert doomed.cancel()  # not yet dispatched: cancel succeeds
+        out = srv.predict(*_sample(1), timeout=60)  # server still alive
+        assert out.shape == (N_PTS, 2)
+    finally:
+        srv.close()  # must not deadlock
+    assert not srv._thread.is_alive()
+
+
+def test_wrong_dtype_rejected_at_submit(bundle_env):
+    """An f64 sample with the right shape must be rejected in submit —
+    if it reached a batch, np.stack would promote the co-batched f32
+    requests and fail ALL of them."""
+    _, variables, bundle = bundle_env
+    with serve.BatchingServer(bundle, variables) as srv:
+        x, fx = _sample(0)
+        with pytest.raises(ValueError, match="dtype mismatch"):
+            srv.submit(x.astype(np.float64), fx)
+
+
+def test_no_head_of_line_blocking_across_signatures(bundle_env, tmp_path):
+    """A FULL batch for one signature dispatches immediately even while
+    another signature's lone request is still waiting out its delay
+    window."""
+    model, variables, _ = bundle_env
+    import jax as _jax
+    from haet_tpu import export as hexport
+    root = str(tmp_path / "two_sigs")
+    x1 = _jax.random.normal(_jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx1 = _jax.random.normal(_jax.random.PRNGKey(2), (1, N_PTS, 1))
+    x2 = _jax.random.normal(_jax.random.PRNGKey(3), (1, 2 * N_PTS, 3))
+    fx2 = _jax.random.normal(_jax.random.PRNGKey(4), (1, 2 * N_PTS, 1))
+    serve.export_batch_family(root, model, variables, (x1, fx1),
+                              batch_sizes=(1, 2))
+    serve.export_batch_family(root, model, variables, (x2, fx2),
+                              batch_sizes=(1, 2))
+    bundle = hexport.ServingBundle.load(root)
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=120.0)
+    try:
+        r = np.random.RandomState(0)
+        # signature A (2N points): ONE request into a (1,2) family — not
+        # full, not aged: waits out the 120 s window
+        slow = srv.submit(r.randn(2 * N_PTS, 3).astype(np.float32),
+                          r.randn(2 * N_PTS, 1).astype(np.float32))
+        time.sleep(0.05)  # let the dispatcher enter A's wait first
+        # signature B (N points): a FULL b2 batch — must not wait behind A
+        f1 = srv.submit(*_sample(1))
+        f2 = srv.submit(*_sample(2))
+        f1.result(timeout=60)
+        f2.result(timeout=60)
+        assert not slow.done()
+    finally:
+        srv.close()  # drain serves the slow request too
+    assert slow.result(timeout=10).shape == (2 * N_PTS, 2)
+
+
+def test_warmup_compiles_every_size(bundle_env):
+    _, variables, bundle = bundle_env
+    with serve.BatchingServer(bundle, variables, max_delay_s=0.0) as srv:
+        srv.warmup()  # compiles b1/b2/b4 from manifest dtypes; no stats
+        assert srv.stats.requests == 0
+        out = srv.predict(*_sample(0), timeout=60)
+        assert out.shape == (N_PTS, 2)
+
+
+def test_scalar_and_mixed_signatures_skipped():
+    """Bundle entries whose inputs include a scalar (no batch axis) or
+    mixed leading axes must be skipped, not crash the constructor."""
+
+    class StubBundle:
+        def shapes(self):
+            return [((), (4,)),            # scalar input
+                    ((2, 8), (4, 8)),      # mixed leading axes
+                    ((1, 8), (1, 4))]      # a real b1 family
+
+        def predict(self, variables, *args):
+            return np.zeros((1, 3), np.float32)
+
+    srv = serve.BatchingServer(StubBundle(), variables=None,
+                               max_delay_s=0.0)
+    try:
+        assert list(srv._sizes_by_sig) == [((8,), (4,))]
+        out = srv.predict(np.zeros((8,), np.float32),
+                          np.zeros((4,), np.float32), timeout=30)
+        assert out.shape == (3,)
+    finally:
+        srv.close()
