@@ -31,3 +31,9 @@ def test_multichip_example():
     out = _run("multichip.py")
     assert "mesh:" in out
     assert "sharded training + jitted predict OK" in out
+
+
+def test_serving_example():
+    out = _run("serving.py")
+    assert "HTTP predict == direct apply" in out
+    assert "serving tour OK" in out
