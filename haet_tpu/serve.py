@@ -97,11 +97,20 @@ def export_batch_family(
 class ServerStats:
     """Counters the dispatcher updates; read them any time."""
 
-    def __init__(self):
+    def __init__(self, latency_window: int = 1024):
         self.requests = 0
         self.dispatches = 0
         self.batch_histogram = collections.Counter()
         self.queue_wait_s_total = 0.0
+        # rolling window of per-request submit->result latencies for
+        # percentile reporting (bounded: serving runs are long-lived)
+        self.latencies_s = collections.deque(maxlen=latency_window)
+
+    def _pct(self, q: float):
+        if not self.latencies_s:
+            return None
+        xs = sorted(self.latencies_s)
+        return xs[min(len(xs) - 1, int(q * len(xs)))]
 
     def snapshot(self) -> dict:
         return {
@@ -111,6 +120,8 @@ class ServerStats:
             "mean_queue_wait_s": (
                 self.queue_wait_s_total / self.requests
                 if self.requests else 0.0),
+            "latency_p50_s": self._pct(0.50),
+            "latency_p95_s": self._pct(0.95),
         }
 
 
@@ -311,6 +322,7 @@ class BatchingServer:
             self.stats.batch_histogram[len(reqs)] += 1
             for i, r in enumerate(reqs):
                 self.stats.queue_wait_s_total += t - r.t_enqueued
+                self.stats.latencies_s.append(t - r.t_enqueued)
                 self._deliver(
                     r.future, Future.set_result,
                     jax.tree_util.tree_map(lambda o: np.asarray(o)[i], out))
@@ -328,6 +340,33 @@ class BatchingServer:
             out = self.bundle.predict(self.variables, *args)
         # fetch once for the whole batch (one device->host transfer)
         return jax.tree_util.tree_map(np.asarray, out)
+
+    def reload(self, variables, *, warmup: bool = True):
+        """Hot-swap the served checkpoint without restarting the server.
+
+        The new weights are bound into fresh executables and (by default)
+        compiled for every exported program BEFORE the swap, so no live
+        request stalls on a cold compile — zero-downtime weight updates
+        (the torch reference has no serving story at all; its eval script
+        re-imports the module per run). Requests already dispatched finish
+        on the old weights; requests dispatched after `reload` returns use
+        the new ones. Thread-safe: the swap is a single atomic attribute
+        write read once per batch by the dispatcher.
+        """
+        if self._bound is None:
+            self.variables = variables
+            return
+        new_bound = self.bundle.bind(variables)
+        if warmup:
+            for sig, sizes in self._sizes_by_sig.items():
+                dtypes = self._dtypes_by_sig.get(sig)
+                if dtypes is None:
+                    continue
+                for b in sizes:
+                    new_bound.predict(*(np.zeros((b,) + shape, dtype=dt)
+                                        for shape, dt in zip(sig, dtypes)))
+        self.variables = variables
+        self._bound = new_bound
 
     def warmup(self):
         """Compile every exported program (all signatures x batch sizes)

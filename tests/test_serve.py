@@ -278,3 +278,26 @@ def test_scalar_and_mixed_signatures_skipped():
         assert out.shape == (3,)
     finally:
         srv.close()
+
+
+def test_hot_reload_swaps_weights(bundle_env):
+    """reload() serves NEW weights to later requests without restarting
+    (and the stats/latency machinery keeps working across the swap)."""
+    model, variables, bundle = bundle_env
+    # a genuinely different checkpoint: re-init with another seed
+    import jax as _jax
+    x = _jax.random.normal(_jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = _jax.random.normal(_jax.random.PRNGKey(2), (1, N_PTS, 1))
+    v2 = _jax.jit(model.init)(_jax.random.PRNGKey(99), x, fx)
+    with serve.BatchingServer(bundle, variables, max_delay_s=0.0) as srv:
+        s = _sample(0)
+        out1 = srv.predict(*s, timeout=60)
+        srv.reload(v2)
+        out2 = srv.predict(*s, timeout=60)
+        ref2 = model.apply(v2, s[0][None], s[1][None], train=False)
+        np.testing.assert_allclose(out2, np.asarray(ref2)[0],
+                                   rtol=2e-5, atol=2e-5)
+        assert np.abs(out1 - out2).max() > 1e-3  # weights really changed
+        snap = srv.stats.snapshot()
+        assert snap["latency_p50_s"] is not None
+        assert snap["latency_p95_s"] >= snap["latency_p50_s"]
