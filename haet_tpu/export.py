@@ -70,6 +70,8 @@ def export_apply(
     example_args: Sequence[Any],
     *,
     platforms: Sequence[str] | None = None,
+    mesh=None,
+    data_axis: str = "dp",
 ):
     """Export ``model.apply`` (eval mode) to a ``jax.export.Exported``.
 
@@ -83,16 +85,58 @@ def export_apply(
         platforms: lowering platforms, e.g. ``("tpu", "cpu")``. Defaults
             to the current backend. Cross-platform export lets a CPU host
             build TPU artifacts.
+        mesh: optional ``jax.sharding.Mesh`` — exports a MULTI-CHIP
+            program: weights replicated, every data input (and the
+            output) sharded on its leading batch axis over ``data_axis``.
+            The artifact then requires the same device count at serving
+            time (``ExportedModel.nr_devices``) and scales batch
+            inference over the whole mesh with XLA-inserted collectives.
+            The batch must divide the ``data_axis`` size. Incompatible
+            with ``platforms`` (sharded lowering pins the backend).
+        data_axis: mesh axis name for the batch dimension.
     """
     from jax import export as jexport
 
     args = tuple(a for a in example_args if a is not None)
     fn = _apply_fn(model)
-    arg_specs = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype),
-        (variables,) + args,
-    )
-    exported = jexport.export(jax.jit(fn), platforms=platforms)(*arg_specs)
+    if mesh is None:
+        arg_specs = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype),
+            (variables,) + args,
+        )
+        exported = jexport.export(jax.jit(fn),
+                                  platforms=platforms)(*arg_specs)
+        return exported
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if platforms is not None:
+        raise ValueError(
+            "mesh= and platforms= are mutually exclusive: a sharded "
+            "lowering pins the backend the mesh lives on")
+    n_dp = int(mesh.shape[data_axis])
+    for a in args:
+        if np.shape(a)[0] % n_dp:
+            raise ValueError(
+                f"batch {np.shape(a)[0]} does not divide the "
+                f"'{data_axis}' mesh axis ({n_dp}); export batch sizes "
+                "that are multiples of the data-parallel degree")
+    repl = NamedSharding(mesh, P())
+    data_s = NamedSharding(mesh, P(data_axis))
+    spec_w = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype,
+                                       sharding=repl), variables)
+    spec_x = tuple(jax.ShapeDtypeStruct(np.shape(a), a.dtype,
+                                        sharding=data_s) for a in args)
+    jf = jax.jit(fn,
+                 in_shardings=(jax.tree_util.tree_map(lambda _: repl,
+                                                      variables),)
+                 + tuple(data_s for _ in args),
+                 out_shardings=data_s)
+    # the model's own sharding constraints (head-TP etc.) need the mesh
+    # context at trace time
+    with mesh:
+        exported = jexport.export(jf)(spec_w, *spec_x)
     return exported
 
 
@@ -115,15 +159,19 @@ def save_artifact(
     *,
     platforms: Sequence[str] | None = None,
     extra_manifest: dict | None = None,
+    mesh=None,
+    data_axis: str = "dp",
 ) -> str:
     """Export + write a self-contained artifact directory.
 
     Layout: ``path/manifest.json`` (shapes, dtypes, platforms, model repr)
     and ``path/apply.stablehlo.bin`` (the serialized Exported). Returns
-    ``path``.
+    ``path``. With ``mesh``, the program is multi-chip data-parallel
+    (see :func:`export_apply`) and the manifest records ``nr_devices``.
     """
     exported = export_apply(
         model, variables, example_args, platforms=platforms,
+        mesh=mesh, data_axis=data_axis,
     )
     os.makedirs(path, exist_ok=True)
     blob = exported.serialize()
@@ -135,6 +183,8 @@ def save_artifact(
         "platforms": list(exported.platforms),
         "model": repr(model),
         "n_arrays_variables": len(jax.tree_util.tree_leaves(variables)),
+        "nr_devices": int(exported.nr_devices),
+        **({"data_axis": data_axis} if mesh is not None else {}),
         **(extra_manifest or {}),
     }
     with open(os.path.join(path, _MANIFEST), "w") as f:
@@ -147,14 +197,50 @@ class ExportedModel:
     program (under ``jit`` so results live on device and calls fuse into
     surrounding jitted code)."""
 
-    def __init__(self, exported, manifest: dict):
+    def __init__(self, exported, manifest: dict, mesh=None):
         self.exported = exported
         self.manifest = manifest
         self._call = jax.jit(exported.call)
+        self._mesh = None
+        self._data_sharding = None
+        self._repl_sharding = None
+        if int(getattr(exported, "nr_devices", 1)) > 1:
+            if mesh is None:
+                raise ValueError(
+                    f"this artifact is a multi-chip program "
+                    f"({exported.nr_devices} devices, data axis "
+                    f"{manifest.get('data_axis')!r}); pass a mesh of that "
+                    "size to load_artifact(path, mesh=...)")
+            if int(np.prod(list(mesh.shape.values()))) != int(
+                    exported.nr_devices):
+                raise ValueError(
+                    f"mesh has {int(np.prod(list(mesh.shape.values())))} "
+                    f"devices but the artifact was exported for "
+                    f"{exported.nr_devices}")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = manifest.get("data_axis", "dp")
+            self._mesh = mesh
+            self._data_sharding = NamedSharding(mesh, P(axis))
+            self._repl_sharding = NamedSharding(mesh, P())
+
+    @property
+    def nr_devices(self) -> int:
+        return int(getattr(self.exported, "nr_devices", 1))
 
     @property
     def input_shapes(self) -> list[list[int]]:
         return self.manifest["input_shapes"]
+
+    def _place(self, tree, sharding):
+        """Commit host arrays for a multi-chip program (single-chip
+        artifacts take anything jit accepts)."""
+        if self._mesh is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: (a if isinstance(a, jax.Array)
+                       and len(a.sharding.device_set) > 1
+                       else jax.device_put(a, sharding)), tree)
 
     def _check(self, args):
         want = self.input_shapes
@@ -183,7 +269,12 @@ class ExportedModel:
     def __call__(self, variables, *args):
         args = tuple(a for a in args if a is not None)
         self._check(args)
-        return self._call(variables, *args)
+        if self._mesh is None:
+            return self._call(variables, *args)
+        variables = self._place(variables, self._repl_sharding)
+        args = tuple(self._place(a, self._data_sharding) for a in args)
+        with self._mesh:
+            return self._call(variables, *args)
 
     def bind(self, variables):
         """Pre-bind ``variables``: returns ``fn(*args)`` with the weights
@@ -199,24 +290,33 @@ class ExportedModel:
         (see docs/benchmarks.md "Serving latency").
         """
         exported = self.exported
+        if self._mesh is not None:
+            variables = self._place(variables, self._repl_sharding)
         call = jax.jit(lambda *a: exported.call(variables, *a))
 
         def fn(*args):
             args = tuple(a for a in args if a is not None)
             self._check(args)
-            return call(*args)
+            if self._mesh is None:
+                return call(*args)
+            args = tuple(self._place(a, self._data_sharding)
+                         for a in args)
+            with self._mesh:
+                return call(*args)
 
         return fn
 
 
-def load_artifact(path: str) -> ExportedModel:
+def load_artifact(path: str, mesh=None) -> ExportedModel:
+    """Load an artifact directory. Multi-chip artifacts (exported with
+    ``mesh=``) require a mesh of the matching device count here."""
     from jax import export as jexport
 
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
     with open(os.path.join(path, _BLOB), "rb") as f:
         exported = jexport.deserialize(bytearray(f.read()))
-    return ExportedModel(exported, manifest)
+    return ExportedModel(exported, manifest, mesh=mesh)
 
 
 class ServingBundle:
@@ -235,13 +335,14 @@ class ServingBundle:
             self._by_key[key] = m
 
     @classmethod
-    def load(cls, root: str) -> "ServingBundle":
-        """Load every artifact directory directly under ``root``."""
+    def load(cls, root: str, mesh=None) -> "ServingBundle":
+        """Load every artifact directory directly under ``root``
+        (``mesh`` is forwarded for multi-chip artifacts)."""
         subdirs = sorted(
             os.path.join(root, d) for d in os.listdir(root)
             if os.path.isdir(os.path.join(root, d))
         )
-        return cls([load_artifact(d) for d in subdirs
+        return cls([load_artifact(d, mesh=mesh) for d in subdirs
                     if os.path.exists(os.path.join(d, _MANIFEST))])
 
     def shapes(self):

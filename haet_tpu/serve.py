@@ -61,6 +61,8 @@ def export_batch_family(
     batch_sizes: Sequence[int] = (1, 2, 4, 8),
     *,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
+    data_axis: str = "dp",
 ) -> str:
     """Write one AOT artifact per batch size under ``path`` (a
     :class:`~haet_tpu.export.ServingBundle` root).
@@ -88,7 +90,7 @@ def export_batch_family(
         )
         hexport.save_artifact(
             os.path.join(path, f"b{b}_{sig_tag}"), model, variables, ex_b,
-            platforms=platforms,
+            platforms=platforms, mesh=mesh, data_axis=data_axis,
             extra_manifest={"batch_size": b},
         )
     return path

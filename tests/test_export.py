@@ -214,3 +214,55 @@ def test_bound_bundle_predict(tmp_path):
             rtol=1e-5, atol=1e-6)
     with pytest.raises(ValueError, match="no artifact"):
         bb.predict(x[:, :128], fx[:, :128])
+
+
+def test_multichip_dp_artifact(tmp_path):
+    """mesh= exports a data-parallel program: weights replicated, batch
+    sharded over dp; the loaded artifact requires a matching mesh, places
+    host inputs itself, and matches the single-device forward (argument
+    AND bound paths)."""
+    from jax.sharding import Mesh
+
+    model, v, _, _ = _tiny()
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("dp",))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 256, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (8, 256, 1))
+    p = save_artifact(str(tmp_path / "dp8"), model, v, (x, fx), mesh=mesh)
+
+    man = json.load(open(os.path.join(p, "manifest.json")))
+    assert man["nr_devices"] == 8 and man["data_axis"] == "dp"
+
+    with pytest.raises(ValueError, match="multi-chip"):
+        load_artifact(p)  # mesh required
+    em = load_artifact(p, mesh=mesh)
+    assert em.nr_devices == 8
+
+    ref = np.asarray(model.apply(v, x, fx, train=False))
+    out = em(v, np.asarray(x), np.asarray(fx))  # plain host arrays OK
+    assert len(out.sharding.device_set) == 8  # really ran sharded
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+    bound = em.bind(v)
+    np.testing.assert_allclose(np.asarray(bound(np.asarray(x),
+                                                np.asarray(fx))),
+                               ref, rtol=1e-5, atol=1e-6)
+
+
+def test_multichip_export_validation(tmp_path):
+    from jax.sharding import Mesh
+
+    model, v, x, fx = _tiny()
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("dp",))
+    with pytest.raises(ValueError, match="does not divide"):
+        save_artifact(str(tmp_path / "bad"), model, v,
+                      (x[:2], fx[:2]), mesh=mesh)  # 2 % 8 != 0
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        save_artifact(str(tmp_path / "bad2"), model, v,
+                      (jnp.tile(x, (4, 1, 1)), jnp.tile(fx, (4, 1, 1))),
+                      mesh=mesh, platforms=("cpu",))
+    # wrong mesh size at load
+    p = save_artifact(str(tmp_path / "dp8"), model, v,
+                      (jnp.tile(x, (4, 1, 1)), jnp.tile(fx, (4, 1, 1))),
+                      mesh=mesh)
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("dp",))
+    with pytest.raises(ValueError, match="was exported for"):
+        load_artifact(p, mesh=mesh4)
