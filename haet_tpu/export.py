@@ -140,6 +140,18 @@ def export_apply(
     return exported
 
 
+def _variables_treedef_str(variables) -> str:
+    # strict, matching jax.export's own calling-convention comparison
+    # (even a leafless empty dict node is structure there); FrozenDict
+    # normalized to dict so flax-version differences don't false-alarm
+    def to_dict(t):
+        if hasattr(t, "items"):
+            return {k: to_dict(v) for k, v in t.items()}
+        return t
+
+    return str(jax.tree_util.tree_structure(to_dict(variables)))
+
+
 def _input_shapes(example_args) -> list[list[int]]:
     return [list(np.shape(a)) for a in example_args if a is not None]
 
@@ -183,6 +195,11 @@ def save_artifact(
         "platforms": list(exported.platforms),
         "model": repr(model),
         "n_arrays_variables": len(jax.tree_util.tree_leaves(variables)),
+        # the exported calling convention pins the variables PYTREE
+        # STRUCTURE; recorded so a mismatched checkpoint (e.g. missing
+        # batch_stats) raises a named error instead of an opaque
+        # structural diff deep inside jax.export
+        "variables_treedef": _variables_treedef_str(variables),
         "nr_devices": int(exported.nr_devices),
         **({"data_axis": data_axis} if mesh is not None else {}),
         **(extra_manifest or {}),
@@ -266,9 +283,31 @@ class ExportedModel:
                     "explicitly (no implicit casts at the serving "
                     "boundary).")
 
+    def _check_variables(self, variables):
+        """The exported calling convention also pins the variables pytree
+        STRUCTURE — a checkpoint missing (or adding) subtrees, most
+        commonly an empty ``batch_stats`` where the model has BatchNorm,
+        would otherwise fail with an opaque structural diff deep inside
+        jax.export."""
+        want = self.manifest.get("variables_treedef")
+        if want is None:
+            return  # pre-0.6 artifact without the field
+        got = _variables_treedef_str(variables)
+        if got != want:
+            raise ValueError(
+                "variables pytree mismatch: the artifact was exported "
+                f"with structure\n  {want}\nbut was called with\n  {got}\n"
+                "Common causes: serving a checkpoint without its "
+                "batch_stats collection (BatchNorm models need it), an "
+                "EMPTY batch_stats dict added for a BN-free model "
+                "(drop the key — even a leafless node is structure), or "
+                "a pipeline-layout checkpoint not converted with "
+                "parallel.pipeline.merge_raw_variables.")
+
     def __call__(self, variables, *args):
         args = tuple(a for a in args if a is not None)
         self._check(args)
+        self._check_variables(variables)
         if self._mesh is None:
             return self._call(variables, *args)
         variables = self._place(variables, self._repl_sharding)
@@ -290,6 +329,7 @@ class ExportedModel:
         (see docs/benchmarks.md "Serving latency").
         """
         exported = self.exported
+        self._check_variables(variables)
         if self._mesh is not None:
             variables = self._place(variables, self._repl_sharding)
         call = jax.jit(lambda *a: exported.call(variables, *a))

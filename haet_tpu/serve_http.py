@@ -145,19 +145,34 @@ def _load_variables(checkpoint: str, which: str):
     if raw is None:
         raise FileNotFoundError(
             f"no '{which}' checkpoint under {checkpoint}")
+    import jax
+
     params = raw.get("params", raw)  # plain variables trees work too
-    variables = {"params": params,
-                 "batch_stats": raw.get("batch_stats") or {}}
     if "layers" in (params or {}):
         # a --pp run's stacked pipeline layout (train/checkpoint.py
         # restore_raw docstring): convert to the plain per-block layout
         from .parallel.pipeline import merge_raw_variables
 
-        variables = merge_raw_variables(raw)
+        merged = merge_raw_variables(raw)
+        params, bs = merged["params"], merged.get("batch_stats")
+    else:
+        bs = raw.get("batch_stats")
+    variables = {"params": params}
+    if bs is not None and jax.tree_util.tree_leaves(bs):
+        # only include a REAL batch_stats collection: the exported calling
+        # convention is strict about structure, and BN-free artifacts are
+        # exported without the key (an empty dict node would mismatch)
+        variables["batch_stats"] = bs
     return variables
 
 
 def main(argv=None):
+    # honor HAET_PLATFORM before any jax use (this environment's shell
+    # profile force-prepends the tunneled-TPU platform to JAX_PLATFORMS;
+    # see haet_tpu.utils.env.apply_platform_override)
+    from .utils.env import apply_platform_override
+
+    apply_platform_override()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--bundle", required=True,
                     help="ServingBundle root (export_batch_family output)")
@@ -172,6 +187,10 @@ def main(argv=None):
     ap.add_argument("--request_timeout_s", type=float, default=300.0,
                     help="bound one request's wait on the batcher "
                          "(504 after this)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="serve a MULTI-CHIP bundle over this many "
+                         "devices (artifacts exported with mesh=; 0 = "
+                         "single-chip artifacts)")
     ap.add_argument("--warmup", type=int, default=1,
                     help="compile every exported program before "
                          "accepting traffic (no cold-compile on the "
@@ -180,7 +199,15 @@ def main(argv=None):
 
     from .export import ServingBundle
 
-    bundle = ServingBundle.load(args.bundle)
+    mesh = None
+    if args.dp:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:args.dp]).reshape(args.dp),
+                    ("dp",))
+    bundle = ServingBundle.load(args.bundle, mesh=mesh)
     variables = _load_variables(args.checkpoint, args.which)
     with BatchingServer(bundle, variables,
                         max_delay_s=args.max_delay_ms / 1e3,

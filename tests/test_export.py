@@ -266,3 +266,22 @@ def test_multichip_export_validation(tmp_path):
     mesh4 = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("dp",))
     with pytest.raises(ValueError, match="was exported for"):
         load_artifact(p, mesh=mesh4)
+
+
+def test_variables_structure_mismatch_is_named(tmp_path):
+    """A checkpoint whose variables pytree doesn't match the exported
+    calling convention (the classic: missing batch_stats) must raise a
+    named error at the artifact boundary, not an opaque structural diff
+    inside jax.export — for both the argument and bound paths."""
+    model, v, x, fx = _tiny()
+    em = load_artifact(save_artifact(str(tmp_path / "art"), model, v,
+                                     (x, fx)))
+    bad = {"params": v["params"]}  # dropped batch_stats
+    with pytest.raises(ValueError, match="variables pytree mismatch"):
+        em(bad, x, fx)
+    with pytest.raises(ValueError, match="variables pytree mismatch"):
+        em.bind(bad)
+    # the correct tree still passes the check end to end
+    np.testing.assert_allclose(np.asarray(em(v, x, fx)),
+                               np.asarray(model.apply(v, x, fx)),
+                               rtol=1e-5, atol=1e-6)
