@@ -161,7 +161,8 @@ def main():
         float(probe_fn(px)[0, 0])
         return time.perf_counter() - t0
 
-    probe_window()  # compile
+    if on_tpu:
+        probe_window()  # compile
     probe_best = float("inf")
 
     k_lo, k_hi = 5, 45
@@ -195,7 +196,9 @@ def main():
     for i in range(16):
         if i >= 6 and time.perf_counter() - t_start > budget_s:
             break
-        probe_best = min(probe_best, probe_window())
+        if on_tpu:  # probe result is only used on TPU; ~2.2 TFLOP per
+            # window would add minutes of waste to a CPU plumbing run
+            probe_best = min(probe_best, probe_window())
         best["d_lo"] = min(best["d_lo"], disp_window(k_lo))
         best["d_hi"] = min(best["d_hi"], disp_window(k_hi))
         best["l_lo"] = min(best["l_lo"], loop_window(k_lo))
@@ -233,7 +236,7 @@ def main():
     # the same selection rule the model windows use) over the quiet-chip
     # calibration. <1 means every number above was measured on a busy
     # chip; mfu_adjusted ~ what a quiet chip would have shown.
-    probe_tflops = PROBE_FLOPS / probe_best / 1e12
+    probe_tflops = (PROBE_FLOPS / probe_best / 1e12) if on_tpu else None
     quiet = PROBE_QUIET_TFLOPS or 0.8 * PEAK_BF16_FLOPS / 1e12
     chip_share = min(1.0, probe_tflops / quiet) if on_tpu else None
     mfu_adj = (mfu / chip_share if (mfu and chip_share) else None)
@@ -246,7 +249,8 @@ def main():
         "mfu": round(mfu, 4) if mfu is not None else None,
         "step_tflops": round(flops_per_step / 1e12, 4),
         "flops_source": flops_source,
-        "probe_tflops": round(probe_tflops, 2),
+        "probe_tflops": (round(probe_tflops, 2)
+                         if probe_tflops is not None else None),
         "chip_share_est": (round(chip_share, 4)
                            if chip_share is not None else None),
         "mfu_adjusted": round(mfu_adj, 4) if mfu_adj is not None else None,

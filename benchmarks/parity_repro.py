@@ -227,6 +227,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     tasks = [t.strip() for t in args.tasks.split(",") if t.strip()]
+    if not tasks:
+        raise SystemExit(f"--tasks selected nothing "
+                         f"(got {args.tasks!r}); "
+                         f"choose from {sorted(RUNNERS)}")
     for task in tasks:
         if task not in RUNNERS:
             raise SystemExit(f"unknown task {task!r}; "

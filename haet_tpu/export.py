@@ -372,6 +372,18 @@ class ServingBundle:
         self._by_key = {}
         for m in models:
             key = tuple(tuple(s) for s in m.input_shapes)
+            prev = self._by_key.get(key)
+            if prev is not None and (prev.manifest.get("input_dtypes")
+                                     != m.manifest.get("input_dtypes")):
+                # dispatch is by SHAPE; two same-shape artifacts that
+                # differ in dtype would silently shadow one another —
+                # keep one dtype family per bundle root
+                raise ValueError(
+                    f"ambiguous bundle: two artifacts share input shapes "
+                    f"{key} but differ in dtypes "
+                    f"({prev.manifest.get('input_dtypes')} vs "
+                    f"{m.manifest.get('input_dtypes')}); use a separate "
+                    "bundle root per dtype family")
             self._by_key[key] = m
 
     @classmethod

@@ -77,8 +77,12 @@ def export_batch_family(
     """
     import os
 
+    # the tag carries shapes AND dtypes: two families with the same sample
+    # shapes but different dtypes (f32 vs bf16 exports of one model) must
+    # land in distinct artifact dirs, not silently overwrite each other
     sig_tag = "_".join(
         "x".join(str(d) for d in np.shape(a)[1:])
+        + "-" + np.dtype(getattr(a, "dtype", None) or np.asarray(a).dtype).name
         for a in example_args if a is not None)
     for b in sorted(set(int(b) for b in batch_sizes)):
         if b < 1:
@@ -104,6 +108,9 @@ class ServerStats:
         self.dispatches = 0
         self.batch_histogram = collections.Counter()
         self.queue_wait_s_total = 0.0
+        # samples synthesized by pad_to_batch (duplicated rows whose
+        # outputs are discarded) — visible so operators can size families
+        self.padded_samples = 0
         # rolling window of per-request submit->result latencies for
         # percentile reporting (bounded: serving runs are long-lived)
         self.latencies_s = collections.deque(maxlen=latency_window)
@@ -124,6 +131,7 @@ class ServerStats:
                 if self.requests else 0.0),
             "latency_p50_s": self._pct(0.50),
             "latency_p95_s": self._pct(0.95),
+            "padded_samples": self.padded_samples,
         }
 
 
@@ -148,12 +156,23 @@ class BatchingServer:
         max_delay_s: how long the oldest queued request may wait for
             co-batchable traffic before dispatch (0 = immediately).
         max_queue: backpressure bound; ``submit`` raises when full.
+        pad_to_batch: opt-in. When a group ages out below the smallest
+            exported batch size, duplicate its last sample to fill that
+            program instead of failing the requests. Output-identical for
+            the eval-mode per-sample programs this package exports (each
+            batch row is computed independently; padded rows are
+            discarded) — and the ONLY way to serve low traffic on a
+            multi-chip (``mesh=``) family, whose smallest exportable
+            batch is the data-parallel degree (b1 artifacts are
+            impossible at dp>1). Off by default: the export contract is
+            no *silent* padding (module docstring of
+            :mod:`haet_tpu.export`); this flag is the explicit consent.
 
     Use as a context manager or call :meth:`close`.
     """
 
     def __init__(self, bundle, variables, *, max_delay_s: float = 0.002,
-                 max_queue: int = 1024):
+                 max_queue: int = 1024, pad_to_batch: bool = False):
         self.bundle = bundle
         self.variables = variables
         # the server holds ONE checkpoint: bake it into the executables
@@ -163,6 +182,7 @@ class BatchingServer:
                        if hasattr(bundle, "bind") else None)
         self.max_delay_s = float(max_delay_s)
         self.max_queue = int(max_queue)
+        self.pad_to_batch = bool(pad_to_batch)
         self.stats = ServerStats()
 
         # batch sizes available per single-sample signature:
@@ -253,7 +273,7 @@ class BatchingServer:
             pass  # future was cancelled by its client: nothing to deliver
 
     def _take_group(self):
-        """Under the lock: pick (key, [requests]) to dispatch, or
+        """Under the lock: pick (key, [requests], pad_to) to dispatch, or
         ``(None, wait_seconds_or_None)``.
 
         Policy: every queue is scanned — a queue is *ready* once it can
@@ -262,45 +282,73 @@ class BatchingServer:
         queues the one with the oldest head dispatches first (no
         head-of-line blocking: a full batch for one signature never waits
         out another signature's delay window). The returned wait is the
-        smallest remaining delay across non-ready queues.
+        smallest remaining delay across non-ready queues. Requests whose
+        futures were cancelled by their clients (e.g. an HTTP 504 abandon)
+        are dropped here, before they cost a dispatch. The outer loop
+        re-scans after a queue is strand-failed or emptied by cancels —
+        other queues may hold dispatchable work RIGHT NOW, and returning
+        ``(None, None)`` instead would park the dispatcher in an unbounded
+        ``Condition.wait`` with ready requests queued.
         """
-        now = time.perf_counter()
-        pick, pick_t = None, None
-        wait = None
-        for key, q in self._queues.items():
+        while True:
+            now = time.perf_counter()
+            pick, pick_t = None, None
+            wait = None
+            for key, q in self._queues.items():
+                while q and q[0].future.cancelled():
+                    q.popleft()
+                if not q:
+                    continue
+                sizes = self._sizes_by_sig[key[0]]
+                head_t = q[0].t_enqueued
+                ready = (len(q) >= sizes[0]
+                         or now - head_t >= self.max_delay_s
+                         or self._closed)
+                if ready:
+                    if pick_t is None or head_t < pick_t:
+                        pick, pick_t = key, head_t
+                else:
+                    remaining = self.max_delay_s - (now - head_t)
+                    wait = (remaining if wait is None
+                            else min(wait, remaining))
+            if pick is None:
+                return None, wait
+            sizes = self._sizes_by_sig[pick[0]]
+            q = self._queues[pick]
+            alive = [r for r in q if not r.future.cancelled()]
+            q.clear()
+            q.extend(alive)
             if not q:
-                continue
-            sizes = self._sizes_by_sig[key[0]]
-            head_t = q[0].t_enqueued
-            ready = (len(q) >= sizes[0]
-                     or now - head_t >= self.max_delay_s
-                     or self._closed)
-            if ready:
-                if pick_t is None or head_t < pick_t:
-                    pick, pick_t = key, head_t
+                continue  # all cancelled mid-queue: pick again
+            pad_to = None
+            if len(q) < sizes[-1]:
+                if self.pad_to_batch:
+                    # fill the smallest program with duplicated samples;
+                    # padded rows are discarded after dispatch
+                    take, pad_to = len(q), sizes[-1]
+                else:
+                    # aged out below the SMALLEST exported batch (family
+                    # without a b1 artifact): no program can ever serve
+                    # these alone — fail fast with a clear error instead
+                    # of hanging, then re-scan for other ready queues.
+                    n_stranded = len(q)
+                    while q:
+                        self._deliver(
+                            q.popleft().future, Future.set_exception,
+                            ValueError(
+                                f"{n_stranded} queued request(s) for "
+                                f"signature {pick[0]} cannot fill the "
+                                f"smallest exported batch size "
+                                f"({sizes[-1]}); export a b1 artifact "
+                                "(export_batch_family includes 1 by "
+                                "default), pass pad_to_batch=True "
+                                "(required for multi-chip families, "
+                                "where b1 cannot exist at dp>1), or "
+                                "send more traffic within max_delay_s"))
+                    continue
             else:
-                remaining = self.max_delay_s - (now - head_t)
-                wait = remaining if wait is None else min(wait, remaining)
-        if pick is None:
-            return None, wait
-        sizes = self._sizes_by_sig[pick[0]]
-        q = self._queues[pick]
-        if len(q) < sizes[-1]:
-            # aged out below the SMALLEST exported batch (family without a
-            # b1 artifact): no program can ever serve these alone — fail
-            # fast with a clear error instead of hanging or padding.
-            n_stranded = len(q)
-            while q:
-                self._deliver(
-                    q.popleft().future, Future.set_exception, ValueError(
-                        f"{n_stranded} queued request(s) for signature "
-                        f"{pick[0]} cannot fill the smallest exported "
-                        f"batch size ({sizes[-1]}); export a b1 artifact "
-                        "(export_batch_family includes 1 by default) or "
-                        "send more traffic within max_delay_s"))
-            return None, wait
-        take = next(s for s in sizes if s <= len(q))
-        return (pick, [q.popleft() for _ in range(take)]), wait
+                take = next(s for s in sizes if s <= len(q))
+            return (pick, [q.popleft() for _ in range(take)], pad_to), wait
 
     def _dispatch_loop(self):
         while True:
@@ -312,9 +360,9 @@ class BatchingServer:
                         return
                     self._lock.wait(timeout=wait)
                     group, wait = self._take_group()
-            _, reqs = group
+            _, reqs, pad_to = group
             try:
-                out = self._run_batch(reqs)
+                out = self._run_batch(reqs, pad_to)
             except Exception as e:  # surface to every caller in the batch
                 for r in reqs:
                     self._deliver(r.future, Future.set_exception, e)
@@ -322,6 +370,8 @@ class BatchingServer:
             t = time.perf_counter()
             self.stats.dispatches += 1
             self.stats.batch_histogram[len(reqs)] += 1
+            if pad_to is not None:
+                self.stats.padded_samples += pad_to - len(reqs)
             for i, r in enumerate(reqs):
                 self.stats.queue_wait_s_total += t - r.t_enqueued
                 self.stats.latencies_s.append(t - r.t_enqueued)
@@ -329,13 +379,19 @@ class BatchingServer:
                     r.future, Future.set_result,
                     jax.tree_util.tree_map(lambda o: np.asarray(o)[i], out))
 
-    def _run_batch(self, reqs):
+    def _run_batch(self, reqs, pad_to=None):
         args = []
         for j in range(len(reqs[0].args)):
             if reqs[0].args[j] is None:
                 args.append(None)
             else:
-                args.append(np.stack([r.args[j] for r in reqs]))
+                a = np.stack([r.args[j] for r in reqs])
+                if pad_to is not None and pad_to > len(reqs):
+                    # pad_to_batch consent: duplicate the last sample to
+                    # fill the program; rows >= len(reqs) are never read
+                    a = np.concatenate(
+                        [a, np.repeat(a[-1:], pad_to - len(reqs), axis=0)])
+                args.append(a)
         if self._bound is not None:
             out = self._bound.predict(*args)
         else:
@@ -360,22 +416,15 @@ class BatchingServer:
             return
         new_bound = self.bundle.bind(variables)
         if warmup:
-            for sig, sizes in self._sizes_by_sig.items():
-                dtypes = self._dtypes_by_sig.get(sig)
-                if dtypes is None:
-                    continue
-                for b in sizes:
-                    new_bound.predict(*(np.zeros((b,) + shape, dtype=dt)
-                                        for shape, dt in zip(sig, dtypes)))
+            self._warmup_into(new_bound, variables)
         self.variables = variables
         self._bound = new_bound
 
-    def warmup(self):
-        """Compile every exported program (all signatures x batch sizes)
-        with zero-filled samples so no live request pays a cold compile.
-        Requires the bundle's manifests to carry input dtypes (artifacts
-        written by this package always do); families without dtype info
-        are skipped and compile on first dispatch instead."""
+    def _warmup_into(self, bound, variables):
+        """Dispatch a zero-filled batch through every exported program
+        (all signatures x batch sizes) of ``bound`` (or the raw bundle
+        when weight-binding is unsupported). Families whose manifests
+        lack input dtypes are skipped and compile on first dispatch."""
         for sig, sizes in self._sizes_by_sig.items():
             dtypes = self._dtypes_by_sig.get(sig)
             if dtypes is None:
@@ -383,10 +432,18 @@ class BatchingServer:
             for b in sizes:
                 batch = tuple(np.zeros((b,) + shape, dtype=dt)
                               for shape, dt in zip(sig, dtypes))
-                if self._bound is not None:
-                    self._bound.predict(*batch)
+                if bound is not None:
+                    bound.predict(*batch)
                 else:
-                    self.bundle.predict(self.variables, *batch)
+                    self.bundle.predict(variables, *batch)
+
+    def warmup(self):
+        """Compile every exported program (all signatures x batch sizes)
+        with zero-filled samples so no live request pays a cold compile.
+        Requires the bundle's manifests to carry input dtypes (artifacts
+        written by this package always do); families without dtype info
+        are skipped and compile on first dispatch instead."""
+        self._warmup_into(self._bound, self.variables)
 
     # -- lifecycle ------------------------------------------------------
 

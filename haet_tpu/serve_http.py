@@ -117,14 +117,26 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
                 self._send_json(400, {"error": f"bad request body: {e}"})
                 return
             try:
-                out = batching_server.predict(*args,
-                                              timeout=request_timeout_s)
-            except ValueError as e:  # unknown signature / stranded batch
+                fut = batching_server.submit(*args)
+            except ValueError as e:  # unknown signature / dtype mismatch
+                self._send_json(400, {"error": str(e)})
+                return
+            except RuntimeError as e:  # queue full / server closed
+                self._send_json(503, {"error": str(e)})
+                return
+            try:
+                out = fut.result(timeout=request_timeout_s)
+            except ValueError as e:  # stranded batch
                 self._send_json(400, {"error": str(e)})
                 return
             except FuturesTimeoutError:
                 # a hung device dispatch (or a dead dispatcher) must not
-                # pin handler threads forever — fail the request instead
+                # pin handler threads forever — fail the request, and
+                # CANCEL it so the abandoned request stops holding a
+                # queue slot and is never dispatched for a client that
+                # already went away (the dispatcher drops cancelled
+                # futures; cancel() is a no-op if dispatch already began)
+                fut.cancel()
                 self._send_json(504, {
                     "error": f"prediction did not complete within "
                              f"{request_timeout_s} s"})
@@ -191,6 +203,13 @@ def main(argv=None):
                     help="serve a MULTI-CHIP bundle over this many "
                          "devices (artifacts exported with mesh=; 0 = "
                          "single-chip artifacts)")
+    ap.add_argument("--pad_to_batch", type=int, default=-1,
+                    help="1: fill aged-out partial groups by duplicating "
+                         "the last sample (outputs of padded rows are "
+                         "discarded); 0: fail them instead; -1 (default): "
+                         "auto — on iff --dp > 1, where a b1 artifact "
+                         "cannot exist and lone requests could never be "
+                         "served")
     ap.add_argument("--warmup", type=int, default=1,
                     help="compile every exported program before "
                          "accepting traffic (no cold-compile on the "
@@ -209,9 +228,12 @@ def main(argv=None):
                     ("dp",))
     bundle = ServingBundle.load(args.bundle, mesh=mesh)
     variables = _load_variables(args.checkpoint, args.which)
+    pad = (args.dp > 1 if args.pad_to_batch < 0
+           else bool(args.pad_to_batch))
     with BatchingServer(bundle, variables,
                         max_delay_s=args.max_delay_ms / 1e3,
-                        max_queue=args.max_queue) as srv:
+                        max_queue=args.max_queue,
+                        pad_to_batch=pad) as srv:
         if args.warmup:
             print("warming up (compiling every exported program)...")
             srv.warmup()

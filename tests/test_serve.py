@@ -301,3 +301,87 @@ def test_hot_reload_swaps_weights(bundle_env):
         snap = srv.stats.snapshot()
         assert snap["latency_p50_s"] is not None
         assert snap["latency_p95_s"] >= snap["latency_p50_s"]
+
+
+def test_pad_to_batch_serves_partial_groups(bundle_env, tmp_path):
+    """pad_to_batch=True: a lone request on a family whose smallest
+    exported batch is 2 (the multi-chip dp>1 situation, where b1
+    artifacts cannot exist) is served by duplicating the sample into the
+    b2 program and discarding the padded row — output identical to a
+    direct single-sample apply."""
+    import os
+
+    model, variables, _ = bundle_env
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    root = str(tmp_path / "b2_only")
+    serve.export_batch_family(root, model, variables, (x, fx),
+                              batch_sizes=(2,))
+    # artifact dirs encode the input dtypes (same-shape families of
+    # different dtypes must not overwrite each other on disk)
+    assert all("float32" in d for d in os.listdir(root)), os.listdir(root)
+    bundle = hexport.ServingBundle.load(root)
+    with serve.BatchingServer(bundle, variables, max_delay_s=0.01,
+                              pad_to_batch=True) as srv:
+        s = _sample(3)
+        out = srv.predict(*s, timeout=60)
+    direct = model.apply(variables, s[0][None], s[1][None], train=False)
+    np.testing.assert_allclose(out, np.asarray(direct)[0],
+                               rtol=2e-5, atol=2e-5)
+    snap = srv.stats.snapshot()
+    assert snap["padded_samples"] == 1, snap
+    assert snap["batch_histogram"] == {1: 1}, snap
+
+
+def test_stranded_queue_does_not_stall_other_queues(bundle_env, tmp_path):
+    """A queue that strand-fails (aged out below its family's smallest
+    batch) must not park the dispatcher while ANOTHER signature holds
+    dispatchable requests: after the strand failure the dispatcher
+    re-scans and serves them (regression: it used to return with no
+    wait bound and block in Condition.wait until an unrelated event)."""
+    model, variables, _ = bundle_env
+    n2 = N_PTS * 2
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    f1 = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    x2 = jax.random.normal(jax.random.PRNGKey(3), (1, n2, 3))
+    f2 = jax.random.normal(jax.random.PRNGKey(4), (1, n2, 1))
+    root = str(tmp_path / "two_sigs")
+    serve.export_batch_family(root, model, variables, (x1, f1),
+                              batch_sizes=(1,))
+    serve.export_batch_family(root, model, variables, (x2, f2),
+                              batch_sizes=(2,))  # no b1: loners strand
+    bundle = hexport.ServingBundle.load(root)
+    r = np.random.RandomState(0)
+    with serve.BatchingServer(bundle, variables,
+                              max_delay_s=0.01) as srv:
+        doomed = srv.submit(r.randn(n2, 3).astype(np.float32),
+                            r.randn(n2, 1).astype(np.float32))
+        fut = srv.submit(*_sample(5))
+        with pytest.raises(ValueError, match="smallest exported batch"):
+            doomed.result(timeout=30)
+        out = fut.result(timeout=30)  # hung forever before the fix
+    assert out.shape == (N_PTS, 2)
+
+
+def test_ambiguous_bundle_same_shapes_different_dtypes_raises():
+    class Stub:
+        def __init__(self, dts):
+            self.input_shapes = [[1, 4, 3]]
+            self.manifest = {"input_dtypes": dts}
+
+    hexport.ServingBundle([Stub(["float32"])])  # unambiguous: fine
+    with pytest.raises(ValueError, match="ambiguous bundle"):
+        hexport.ServingBundle([Stub(["float32"]), Stub(["bfloat16"])])
+
+
+def test_cancelled_requests_are_dropped_not_dispatched(bundle_env):
+    """Requests whose futures were cancelled (e.g. an HTTP handler
+    answering 504 and abandoning them) are purged from the queue without
+    ever reaching the device."""
+    _, variables, bundle = bundle_env
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=60.0)
+    f1 = srv.submit(*_sample(0))
+    f2 = srv.submit(*_sample(1))
+    assert f1.cancel() and f2.cancel()
+    srv.close(drain=True)  # drain finds only cancelled requests
+    assert srv.stats.snapshot()["dispatches"] == 0
