@@ -174,11 +174,38 @@ def main(args):
         rel = tot / max(n, 1)
     print(f"rel_err:{rel}")
     logger.close()
+
+    if getattr(args, "export_rollout", None):
+        # deployment: the whole T_OUT-frame autoregressive rollout as ONE
+        # AOT program (lax.scan inside the artifact) — the reference's
+        # eval loop re-dispatches per frame; this dispatches once
+        if args.pp > 1:
+            raise SystemExit(
+                "--export_rollout with --pp: convert the stacked pipeline "
+                "checkpoint to the plain layout first (parallel.pipeline."
+                "merge_variables; car_eval --export_artifact shows the "
+                "flow) — rollout export runs the unpipelined model")
+        from haet_tpu.export import save_rollout_artifact
+
+        plain = cfg.model.build()
+        variables = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        save_rollout_artifact(
+            args.export_rollout, plain, variables,
+            (jnp.asarray(test["pos"][:1]), jnp.asarray(test["x"][:1])),
+            steps=T_OUT // STEP)
+        print(f"rollout artifact -> {args.export_rollout}")
     return rel
 
 
 if __name__ == "__main__":
-    args = base_parser("HAET-TPU Navier-Stokes").parse_args()
+    _p = base_parser("HAET-TPU Navier-Stokes")
+    _p.add_argument("--export_rollout", type=str, default=None,
+                    help="after training, export the full autoregressive "
+                         "rollout (T_OUT frames under lax.scan) as one AOT "
+                         "artifact directory")
+    args = _p.parse_args()
     if args.smoke:
         shrink_for_smoke(args)
     main(args)

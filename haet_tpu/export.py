@@ -45,7 +45,9 @@ import numpy as np
 
 __all__ = [
     "export_apply",
+    "export_rollout",
     "save_artifact",
+    "save_rollout_artifact",
     "load_artifact",
     "ExportedModel",
     "ServingBundle",
@@ -95,10 +97,94 @@ def export_apply(
             with ``platforms`` (sharded lowering pins the backend).
         data_axis: mesh axis name for the batch dimension.
     """
+    args = tuple(a for a in example_args if a is not None)
+    return _export_fn(_apply_fn(model), variables, args,
+                      platforms=platforms, mesh=mesh, data_axis=data_axis)
+
+
+def _rollout_fn(model, steps: int, step_width: int):
+    """Autoregressive rollout as ONE compiled program: K model steps under
+    ``lax.scan``, each feeding its prediction back into a sliding input
+    window. The TPU-native form of the reference's per-frame python eval
+    loop (``exp_ns.py`` T_OUT frames; here one dispatch, one program).
+
+    ``fn(variables, pos, fx0) -> [B, N, steps*step_width]``: ``fx0`` is the
+    ``[B, N, T_in]`` window of input frames; each step predicts
+    ``[B, N, step_width]`` (the model's out_dim), which is appended to the
+    window while the oldest ``step_width`` frames fall off.
+    """
+    import jax.numpy as jnp
+
+    def fn(variables, pos, fx0):
+        def body(fx, _):
+            im = model.apply(variables, pos, fx, train=False)
+            # keep the scan carry dtype-stable (a bf16 window must not be
+            # promoted by an f32 head output)
+            win = jnp.concatenate(
+                [fx[..., step_width:], im.astype(fx.dtype)], axis=-1)
+            return win, im
+
+        _, preds = jax.lax.scan(body, fx0, None, length=steps)
+        # [steps, B, N, W] -> [B, N, steps*W] (time-major frame order,
+        # matching the benchmark harness' [B, N, T_OUT] target layout)
+        return jnp.moveaxis(preds, 0, 2).reshape(
+            preds.shape[1], preds.shape[2], steps * preds.shape[3])
+
+    return fn
+
+
+def export_rollout(
+    model,
+    variables,
+    example_args: Sequence[Any],
+    *,
+    steps: int,
+    step_width: int | None = None,
+    platforms: Sequence[str] | None = None,
+    mesh=None,
+    data_axis: str = "dp",
+):
+    """Export a K-step autoregressive rollout (see :func:`_rollout_fn`).
+
+    Args:
+        example_args: ``(pos, fx0)`` — positions and the initial
+            ``[B, N, T_in]`` frame window.
+        steps: number of autoregressive steps in the exported program.
+        step_width: frames predicted per step; defaults to the model's
+            ``out_dim``. ``T_in`` must be >= step_width (the window
+            slides by that much each step).
+    """
+    args = tuple(a for a in example_args if a is not None)
+    if len(args) != 2:
+        raise ValueError(
+            f"rollout export takes exactly (pos, fx0), got {len(args)} "
+            "array inputs")
+    if step_width is None:
+        step_width = getattr(model, "out_dim", None)
+        if step_width is None:
+            raise ValueError("pass step_width= (model has no out_dim)")
+    step_width = int(step_width)
+    out_dim = getattr(model, "out_dim", step_width)
+    if int(out_dim) != step_width:
+        raise ValueError(
+            f"step_width ({step_width}) must equal the model's out_dim "
+            f"({out_dim}): each step's prediction IS the appended frames")
+    t_in = int(np.shape(args[1])[-1])
+    if t_in < step_width:
+        raise ValueError(
+            f"the input window (fx0 last dim = {t_in}) must hold at least "
+            f"step_width ({step_width}) frames to slide")
+    if int(steps) < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    return _export_fn(_rollout_fn(model, int(steps), step_width),
+                      variables, args, platforms=platforms, mesh=mesh,
+                      data_axis=data_axis)
+
+
+def _export_fn(fn, variables, args, *, platforms=None, mesh=None,
+               data_axis="dp"):
     from jax import export as jexport
 
-    args = tuple(a for a in example_args if a is not None)
-    fn = _apply_fn(model)
     if mesh is None:
         arg_specs = jax.tree_util.tree_map(
             lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype),
@@ -185,6 +271,44 @@ def save_artifact(
         model, variables, example_args, platforms=platforms,
         mesh=mesh, data_axis=data_axis,
     )
+    return _write_artifact(path, exported, model, variables, example_args,
+                           mesh, data_axis, extra_manifest)
+
+
+def save_rollout_artifact(
+    path: str,
+    model,
+    variables,
+    example_args: Sequence[Any],
+    *,
+    steps: int,
+    step_width: int | None = None,
+    platforms: Sequence[str] | None = None,
+    extra_manifest: dict | None = None,
+    mesh=None,
+    data_axis: str = "dp",
+) -> str:
+    """Export + write a K-step autoregressive rollout artifact (see
+    :func:`export_rollout`). Same directory layout as :func:`save_artifact`;
+    the manifest additionally records ``rollout_steps`` / ``step_width``.
+    The artifact serves through the same :class:`ExportedModel` /
+    :class:`ServingBundle` / :class:`haet_tpu.serve.BatchingServer` path
+    as a plain forward — its output is just ``[B, N, steps*step_width]``.
+    """
+    if step_width is None:
+        step_width = getattr(model, "out_dim", None)
+    exported = export_rollout(
+        model, variables, example_args, steps=steps, step_width=step_width,
+        platforms=platforms, mesh=mesh, data_axis=data_axis,
+    )
+    return _write_artifact(
+        path, exported, model, variables, example_args, mesh, data_axis,
+        {"rollout_steps": int(steps), "step_width": int(step_width),
+         **(extra_manifest or {})})
+
+
+def _write_artifact(path, exported, model, variables, example_args,
+                    mesh, data_axis, extra_manifest) -> str:
     os.makedirs(path, exist_ok=True)
     blob = exported.serialize()
     with open(os.path.join(path, _BLOB), "wb") as f:

@@ -285,3 +285,53 @@ def test_variables_structure_mismatch_is_named(tmp_path):
     np.testing.assert_allclose(np.asarray(em(v, x, fx)),
                                np.asarray(model.apply(v, x, fx)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_rollout_artifact_matches_python_loop(tmp_path):
+    """save_rollout_artifact: K autoregressive steps under lax.scan inside
+    ONE exported program == the reference-style python eval loop (per-frame
+    re-dispatch, exp_ns.py eval semantics: predict, slide the window)."""
+    from haet_tpu.export import save_rollout_artifact
+
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, n_layers=1, n_hidden=32, n_head=2, slice_num=8,
+        fun_dim=4, out_dim=2)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 3))
+    fx0 = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 4))
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), pos, fx0)
+    steps = 3
+
+    p = save_rollout_artifact(str(tmp_path / "roll"), model, v,
+                              (pos, fx0), steps=steps)
+    man = json.load(open(os.path.join(p, "manifest.json")))
+    assert man["rollout_steps"] == steps and man["step_width"] == 2
+
+    em = load_artifact(p)
+    got = np.asarray(em(v, pos, fx0))
+    assert got.shape == (2, 128, steps * 2)
+
+    fx = fx0
+    frames = []
+    for _ in range(steps):
+        im = model.apply(v, pos, fx, train=False)
+        frames.append(np.asarray(im))
+        fx = jnp.concatenate([fx[..., 2:], im.astype(fx.dtype)], axis=-1)
+    want = np.concatenate(frames, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_rollout_export_validates_window_and_out_dim(tmp_path):
+    from haet_tpu.export import export_rollout
+
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, n_layers=1, n_hidden=32, n_head=2, slice_num=8,
+        fun_dim=4, out_dim=2)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 3))
+    fx0 = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 4))
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), pos, fx0)
+    with pytest.raises(ValueError, match="out_dim"):
+        export_rollout(model, v, (pos, fx0), steps=2, step_width=3)
+    with pytest.raises(ValueError, match="window"):
+        export_rollout(model, v, (pos, fx0[..., :1]), steps=2)
+    with pytest.raises(ValueError, match="steps"):
+        export_rollout(model, v, (pos, fx0), steps=0)
