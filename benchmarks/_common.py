@@ -96,7 +96,8 @@ def add_mesh_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--pp", type=int, default=1,
                    help="pipeline-parallel stage count over the Transolver "
                         "block stack (requires n_layers %% pp == 0; "
-                        "incompatible with --tp)")
+                        "composes with --dp and --tp on a (dp, pp, tp) "
+                        "mesh)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="microbatches per pipelined step (0 = one per "
                         "stage; must divide the per-step batch)")

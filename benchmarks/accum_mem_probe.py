@@ -111,9 +111,15 @@ def find_max_n(batch: int, accum: int, start: int, limit: int, log):
             break
     if first_bad is None:
         return last_ok, False, None
-    lo, hi = (last_ok or start // 2), first_bad
+    # lo must only ever hold a PROBED-ok N: seeding it with start//2 when
+    # the very first probe fails would let the loop converge onto (and
+    # report) a boundary that was never verified and may itself OOM
+    # (pallas_mem_sweep.find_max_n returns 0 there; same contract here)
+    lo, hi = (last_ok or 0), first_bad
     while hi - lo > max(lo // 8, 16384):  # 12.5% resolution like the sweep
         mid = (lo + hi) // 2
+        if mid == 0:
+            break
         rec = accum_probe_subprocess(mid, batch, accum)
         log(rec)
         if rec.get("ok"):

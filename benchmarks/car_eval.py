@@ -48,8 +48,15 @@ def main(args):
         preprocessed=args.preprocessed,
     )
     model = cfg.model.build()
+    # inference-only CLI: a constant schedule avoids constructing the
+    # preset's onecycle over total_steps=1 (whose tiny-horizon stretch
+    # warning would misleadingly flag a "training run" that never takes
+    # an optimizer step)
+    import dataclasses as _dc
+
     trainer = Trainer(
-        model=model, loss_fn=loss_fn_builder(0.5), cfg=cfg.train,
+        model=model, loss_fn=loss_fn_builder(0.5),
+        cfg=_dc.replace(cfg.train, schedule="constant"),
         total_steps=1, batch_args=lambda b: (b["x"], None),
     )
     state = trainer.init_state(jax.random.PRNGKey(0), make_batch(val_s[0]))

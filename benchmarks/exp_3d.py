@@ -69,7 +69,9 @@ def main(args):
         else bool(args.use_checkpoint))
     mesh = make_mesh_from_args(cfg, args)
     cfg.model.H = cfg.model.W = cfg.model.D = s
-    cfg.model.ref = 4
+    # apply_model_args copied args.ref in; cfg.model.ref stays whatever
+    # the user asked for (this driver's DEFAULT is 4, set at the parser —
+    # ref^3 position channels at the base_parser default 8 would be 512)
 
     pos_tr, x_tr, y_tr = heat3d_like(max(8, min(args.ntrain, 32)), s, 0)
     pos_te, x_te, y_te = heat3d_like(max(4, min(args.ntest, 8)), s, 1)
@@ -119,6 +121,9 @@ if __name__ == "__main__":
     p = base_parser("HAET-TPU 3D volume")
     p.set_defaults(use_checkpoint=None)  # None = "not given" -> remat on
     # full-size runs (see main); explicit 0/1 always wins
+    p.set_defaults(ref=4)  # ref^3 unified-pos channels: 4^3=64 is this
+    # driver's default; an explicit --ref is honored (main no longer
+    # silently forces 4 over the CLI value)
     args = p.parse_args()
     if args.smoke:
         shrink_for_smoke(args)

@@ -146,8 +146,10 @@ def main(args):
         # prediction / gt / error renders (reference exp_darcy.py:166-200)
         from haet_tpu.utils.visualization import plot_prediction_triptych
         batch = {k: v[:1] for k, v in test.items()}
-        out, _ = trainer._apply(state.params, state.batch_stats, batch,
-                                False, None)
+        # the jitted public eval path — eager apply pays per-op dispatch
+        # latency through the tunneled runtime (~70 s/sample measured;
+        # the reason Trainer.predict exists)
+        out = trainer.predict(state, batch)
         pred = np.asarray(out)[0, :, 0] * float(y_std) + float(y_mean)
         out_dir = os.path.join(args.out_dir, "results", "darcy")
         plot_prediction_triptych(pred, batch["y"][0], s, s, out_dir, 1)

@@ -59,7 +59,8 @@ def main(args):
         # [B, N, T_OUT] -> [n_steps, B, N, STEP]
         ys = jnp.moveaxis(yy.reshape(b, n, n_steps, STEP), 2, 0)
 
-        def body(carry, y):
+        def body(carry, ys_t):
+            y, t = ys_t
             fx, bs, loss = carry
             variables = {"params": params}
             if jax.tree_util.tree_leaves(bs):
@@ -67,7 +68,12 @@ def main(args):
                 im, upd = model.apply(
                     variables, batch["pos"], fx, train=train_mode,
                     mutable=["batch_stats"],
-                    rngs={"dropout": rng} if train_mode else {},
+                    # fresh dropout mask per rollout frame (fold_in the
+                    # frame index) — a constant rng would give all T_OUT
+                    # frames IDENTICAL masks, unlike the reference, where
+                    # each torch call draws new randomness
+                    rngs=({"dropout": jax.random.fold_in(rng, t)}
+                          if train_mode else {}),
                 )
                 bs = upd["batch_stats"]
             else:
@@ -86,7 +92,8 @@ def main(args):
         # O(1)-in-T activation memory.
         body_fn = jax.checkpoint(body) if train_mode else body
         (fx, batch_stats, loss), preds = jax.lax.scan(
-            body_fn, (fx0, batch_stats, jnp.zeros((), jnp.float32)), ys
+            body_fn, (fx0, batch_stats, jnp.zeros((), jnp.float32)),
+            (ys, jnp.arange(n_steps, dtype=jnp.uint32)),
         )
         pred = jnp.moveaxis(preds, 0, 2).reshape(b, n, T_OUT)
         full = rel_l2(pred.reshape(b, -1), yy.reshape(b, -1)) / b

@@ -72,30 +72,35 @@ def main(args):
         def T_of(t):
             return jnp.full((batch["pos"].shape[0], 1), t)
 
+        # fresh dropout mask per time query (fold_in the query index) —
+        # a shared rng would give every T the SAME mask, unlike the
+        # reference, where each torch call draws new randomness
+        idx = jnp.arange(ts.shape[0], dtype=jnp.uint32)
         if train_mode and has_bn:
-            def step(bs_carry, t):
+            def step(bs_carry, t_i):
+                t, i = t_i
                 out, upd = model.apply(
                     {"params": params, "batch_stats": bs_carry},
                     batch["pos"], batch["fx"], T_of(t),
                     mutable=["batch_stats"], train=True,
-                    rngs={"dropout": rng},
+                    rngs={"dropout": jax.random.fold_in(rng, i)},
                 )
                 return upd["batch_stats"], out
-            new_bs, outs = jax.lax.scan(step, batch_stats, ts)
+            new_bs, outs = jax.lax.scan(step, batch_stats, (ts, idx))
             return outs, new_bs
 
         variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
 
-        def one_t(t):
+        def one_t(t, i):
             kwargs = dict(train=train_mode)
             if train_mode:
-                kwargs["rngs"] = {"dropout": rng}
+                kwargs["rngs"] = {"dropout": jax.random.fold_in(rng, i)}
             return model.apply(variables, batch["pos"], batch["fx"], T_of(t),
                                **kwargs)
 
-        return jax.vmap(one_t)(ts), batch_stats
+        return jax.vmap(one_t)(ts, idx), batch_stats
 
     def loss_of(params, batch_stats, batch, train_mode, rng):
         out, new_bs = all_t_forward(params, batch_stats, batch, train_mode,

@@ -164,6 +164,15 @@ class Checkpointer:
         # the step recorded alongside makes a crash-torn pair detectable.
         self._record_epoch("last", epoch, state)
 
+    def save_diverged(self, state, epoch: int):
+        """Save a non-finite (diverged) state under ``diverged`` for
+        forensics. Deliberately NOT ``last``: clobbering the last good
+        resume point with NaN params would make the run unsalvageable
+        (with no periodic saves and no ``best`` yet, ``last`` is the only
+        way back)."""
+        self._save("diverged", state)
+        self._record_epoch("diverged", epoch, state)
+
     def save_periodic(self, state, epoch: int):
         """Save ``epoch_{N}`` and prune to the ``keep`` most recent
         (reference periodic policy, ``exp_darcy.py:259-263``)."""
@@ -219,8 +228,17 @@ class Checkpointer:
         pt = ocp.PyTreeCheckpointer()
         try:
             meta = pt.metadata(path)
+            # Checkpointer.metadata returns a StepMetadata wrapper (a
+            # single pytree leaf!) — the saved tree's structure lives at
+            # .item_metadata.tree. Mapping over the wrapper itself would
+            # produce one bare RestoreArgs and restore() would reject it
+            # ("Expected dict, got RestoreArgs"), silently demoting every
+            # raw restore to the fallback path below.
+            tree_meta = getattr(meta, "item_metadata", meta)
+            tree_meta = getattr(tree_meta, "tree", tree_meta)
             restore_args = jax.tree_util.tree_map(
-                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+                tree_meta)
             return pt.restore(path, restore_args=restore_args)
         except Exception as meta_err:
             # Classify before falling back: a missing/corrupt checkpoint

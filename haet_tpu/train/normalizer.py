@@ -72,14 +72,16 @@ class StreamingNormalizer:
         self.m2 = np.zeros(n_features, dtype=np.float64)
 
     def update(self, x):
-        """x: [num_points, n_features]."""
+        """x: [num_points, n_features] (Chan et al. parallel merge)."""
         x = np.asarray(x, dtype=np.float64)
-        for row_mean, cnt, row_m2 in [(x.mean(0), x.shape[0], ((x - x.mean(0)) ** 2).sum(0))]:
-            delta = row_mean - self.mean
-            tot = self.n + cnt
-            self.mean += delta * cnt / tot
-            self.m2 += row_m2 + delta ** 2 * self.n * cnt / tot
-            self.n = tot
+        cnt = x.shape[0]
+        row_mean = x.mean(0)
+        row_m2 = ((x - row_mean) ** 2).sum(0)
+        delta = row_mean - self.mean
+        tot = self.n + cnt
+        self.mean += delta * cnt / tot
+        self.m2 += row_m2 + delta ** 2 * self.n * cnt / tot
+        self.n = tot
 
     @property
     def std(self):

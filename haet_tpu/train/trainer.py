@@ -791,7 +791,13 @@ class Trainer:
                     step_no = int(state.step)
                     logger.log({
                         "batch/total_loss": float(m["loss"]),
-                        "batch/learning_rate": float(self.sched(step_no)),
+                        # state.step was already incremented by the jitted
+                        # step; the LR the optimizer APPLIED is sched(step-1)
+                        # (optax counts previous updates — logging sched(step)
+                        # would report the NEXT step's value, visibly wrong
+                        # on OneCycle's steep warmup vs torch get_last_lr())
+                        "batch/learning_rate":
+                            float(self.sched(max(0, step_no - 1))),
                         "batch/memory_used_mb": host_rss_mb(),
                         "batch/batch_time": timer.times[-1],
                         "batch/eta_seconds":
@@ -805,7 +811,8 @@ class Trainer:
                 for k in (train_metrics[0] if train_metrics else {})
             }
             tm.update(timer.metrics("train/"))
-            tm["train/learning_rate"] = float(self.sched(int(state.step)))
+            tm["train/learning_rate"] = float(
+                self.sched(max(0, int(state.step) - 1)))  # LR applied last
             tm["train/memory_used_mb"] = host_rss_mb()
             dev_mb = device_memory_mb()
             if dev_mb is not None:
@@ -825,11 +832,15 @@ class Trainer:
                 # — no extra device sync.)
                 logger.log({**rec, "non_finite_loss": True})
                 if checkpointer is not None:
-                    checkpointer.save_last(state, epoch)
+                    # forensic save under a DISTINCT name — the diverged
+                    # NaN state must not clobber 'last', the run's only
+                    # resume point when no periodic/best saves exist
+                    checkpointer.save_diverged(state, epoch)
                     checkpointer.wait()
                 raise FloatingPointError(
                     f"non-finite training loss ({train_loss}) at epoch "
-                    f"{epoch}; state saved to 'last' for inspection. "
+                    f"{epoch}; state saved to 'diverged' for inspection "
+                    "('last' still holds the previous epoch). "
                     "Common causes: lr too high, bad input normalization, "
                     "a corrupt batch. Set TrainConfig("
                     "stop_on_nonfinite=False) to keep running anyway.")

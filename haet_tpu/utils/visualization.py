@@ -27,9 +27,15 @@ def get_slice_weights(model, variables, *args, block: int = -1, **kwargs):
     Returns the ``[B, heads, N, G]`` weights of ``block`` (default: last),
     the analogue of the reference's ``get_last_block_slice_weights``.
     """
-    _, mods = model.apply(
-        variables, *args, mutable=["intermediates"], **kwargs
-    )
+    # jitted: one dispatch for the whole capture pass — eager apply pays
+    # per-op dispatch latency through the tunneled runtime (~70 s for a
+    # 32k-point car sample; the same reason Trainer.predict is jitted)
+    import jax
+
+    _, mods = jax.jit(
+        lambda v, *a: model.apply(v, *a, mutable=["intermediates"],
+                                  **kwargs)
+    )(variables, *args)
     inter = mods["intermediates"]
 
     found = []

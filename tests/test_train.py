@@ -554,6 +554,11 @@ def test_fit_observability_metrics(tmp_path):
                 "batch/memory_used_mb", "batch/batch_time",
                 "batch/eta_seconds"):
         assert key in batch_recs[0], key
+    # the logged LR is the one the optimizer APPLIED (sched(step-1) after
+    # the in-step increment), matching torch get_last_lr() semantics —
+    # the very first batch record must carry sched(0), not sched(1)
+    assert batch_recs[0]["batch/learning_rate"] == pytest.approx(
+        float(trainer.sched(0)))
 
 
 def test_periodic_checkpoints_and_keep(tmp_path):
@@ -773,7 +778,10 @@ def test_early_stop_still_saves_last_checkpoint(tmp_path):
 
 def test_fit_aborts_on_nonfinite_loss(tmp_path):
     """A NaN training loss aborts fit() loudly (diverged params never
-    recover), after saving 'last' for forensics."""
+    recover), saving the NaN state under 'diverged' for forensics —
+    NOT under 'last', which must keep pointing at the last GOOD state
+    (clobbering it would make the run unsalvageable when no periodic or
+    best checkpoints exist)."""
     from haet_tpu.train import Checkpointer
 
     tm = TinyModel()
@@ -789,11 +797,14 @@ def test_fit_aborts_on_nonfinite_loss(tmp_path):
     d = _data(8)
     state = trainer.init_state(jax.random.PRNGKey(0), d)
     ck = Checkpointer(str(tmp_path))
-    with pytest.raises(FloatingPointError, match="non-finite"):
+    with pytest.raises(FloatingPointError, match="diverged"):
         trainer.fit(state, lambda: [d], checkpointer=ck)
-    # 'last' exists for inspection
+    # the diverged state exists for inspection...
     template = trainer.init_state(jax.random.PRNGKey(0), d)
-    assert ck.restore(template, "last") is not None
+    assert ck.restore(template, "diverged") is not None
+    # ...and 'last' was NOT overwritten with NaN params (nothing good
+    # was ever saved here, so it must simply not exist)
+    assert ck.restore_raw("last") is None
 
 
 def test_fit_nonfinite_guard_can_be_disabled():
