@@ -375,13 +375,22 @@ class ExportedModel:
 
     def _place(self, tree, sharding):
         """Commit host arrays for a multi-chip program (single-chip
-        artifacts take anything jit accepts)."""
+        artifacts take anything jit accepts). An input that already
+        spans devices is passed through only when its sharding is
+        EQUIVALENT to the artifact's — an array committed under a
+        different mesh/spec is re-placed here rather than failing (or
+        silently resharding) inside the multi-chip call."""
         if self._mesh is None:
             return tree
-        return jax.tree_util.tree_map(
-            lambda a: (a if isinstance(a, jax.Array)
-                       and len(a.sharding.device_set) > 1
-                       else jax.device_put(a, sharding)), tree)
+
+        def put(a):
+            if (isinstance(a, jax.Array)
+                    and len(a.sharding.device_set) > 1
+                    and a.sharding.is_equivalent_to(sharding, a.ndim)):
+                return a
+            return jax.device_put(a, sharding)
+
+        return jax.tree_util.tree_map(put, tree)
 
     def _check(self, args):
         want = self.input_shapes

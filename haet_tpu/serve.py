@@ -30,11 +30,15 @@ TPU-shaped:
   itself almost immediately.
 
 The server is transport-agnostic: ``submit`` returns a
-``concurrent.futures.Future``; wrap it in HTTP/gRPC as needed. Single
-dispatcher thread → at most one program in flight per server, which is the
-right shape for one chip (programs serialize on the device anyway; a second
-in-flight dispatch only hides tunnel RTT, which ``pipeline_depth=2`` opts
-into).
+``concurrent.futures.Future``; wrap it in HTTP/gRPC as needed. By default a
+single dispatcher thread keeps at most one program in flight, which is the
+right shape for one uncontended chip (programs serialize on the device
+anyway). ``pipeline_depth=2`` opts into double-buffered dispatch: batch k+1
+is assembled and dispatched while batch k's device→host fetch is still in
+flight — the device queue already serializes execution, so this changes
+nothing about compute order, it only hides the host round-trip (which on a
+tunneled chip is 10-20x the device time; measured gain in
+docs/benchmarks.md "Serving throughput").
 """
 
 from __future__ import annotations
@@ -50,7 +54,8 @@ import numpy as np
 
 from . import export as hexport
 
-__all__ = ["BatchingServer", "export_batch_family", "ServerStats"]
+__all__ = ["BatchingServer", "export_batch_family", "export_point_family",
+           "ServerStats"]
 
 
 def export_batch_family(
@@ -100,49 +105,121 @@ def export_batch_family(
     return path
 
 
+def export_point_family(
+    path: str,
+    model,
+    variables,
+    example_args: Sequence[Any],
+    point_buckets: Sequence[int],
+    batch_sizes: Sequence[int] = (1, 2, 4, 8),
+    *,
+    platforms: Optional[Sequence[str]] = None,
+    mesh=None,
+    data_axis: str = "dp",
+) -> str:
+    """:func:`export_batch_family` over POINT-COUNT buckets: one batch
+    family per N in ``point_buckets``, all under one bundle root.
+
+    This is how a ragged point-cloud fold (e.g. ShapeNet-Car meshes at
+    ~29-38k points, reference ``main_evaluation.py`` per-sample native N)
+    is served with static-shape artifacts: export buckets covering the
+    fold's N range (``benchmarks/car_train.py`` uses 2048-multiples) and
+    run the server with ``pad_to_points=True`` — each request rides the
+    smallest bucket that fits and its output is truncated back to its
+    true N.
+
+    ``example_args`` carries the single-sample signature at ANY point
+    count; each bucket resizes axis 1 (the point axis of the ``[1, N,
+    ...]`` sample) by repeat-last-row extension or truncation — only
+    shapes/dtypes matter for export. Every array arg must share the same
+    axis-1 point count.
+    """
+    ns = {np.shape(a)[1] for a in example_args if a is not None}
+    if len(ns) != 1:
+        raise ValueError(
+            f"example args disagree on the point axis (axis 1): {ns}")
+    n0 = ns.pop()
+    for n in sorted(set(int(n) for n in point_buckets)):
+        if n < 1:
+            raise ValueError(f"point buckets must be >= 1, got {n}")
+        idx = np.minimum(np.arange(n), n0 - 1)
+        ex_n = tuple(None if a is None else np.take(np.asarray(a), idx,
+                                                    axis=1)
+                     for a in example_args)
+        export_batch_family(path, model, variables, ex_n,
+                            batch_sizes=batch_sizes, platforms=platforms,
+                            mesh=mesh, data_axis=data_axis)
+    return path
+
+
 class ServerStats:
-    """Counters the dispatcher updates; read them any time."""
+    """Counters the dispatcher/delivery threads update.
+
+    All mutation and :meth:`snapshot` run under ``self.lock`` — with
+    ``pipeline_depth>1`` two server threads write here concurrently, and
+    even single-threaded dispatch must not race a reader iterating the
+    latency deque mid-append (``deque mutated during iteration``)."""
 
     def __init__(self, latency_window: int = 1024):
+        self.lock = threading.Lock()
         self.requests = 0
         self.dispatches = 0
+        # requests whose queue wait has been accumulated (denominator for
+        # mean_queue_wait_s — ``requests`` would understate the mean while
+        # traffic is still queued/cancelled/strand-failed)
+        self.dispatched_requests = 0
+        # requests whose result (or error) actually reached the caller
+        self.delivered = 0
         self.batch_histogram = collections.Counter()
         self.queue_wait_s_total = 0.0
         # samples synthesized by pad_to_batch (duplicated rows whose
         # outputs are discarded) — visible so operators can size families
         self.padded_samples = 0
+        # points synthesized by pad_to_points (repeat-last rows whose
+        # output rows are truncated away) — visible so operators can size
+        # point buckets
+        self.padded_points = 0
         # rolling window of per-request submit->result latencies for
         # percentile reporting (bounded: serving runs are long-lived)
         self.latencies_s = collections.deque(maxlen=latency_window)
 
-    def _pct(self, q: float):
-        if not self.latencies_s:
+    @staticmethod
+    def _pct(xs, q: float):
+        if not xs:
             return None
-        xs = sorted(self.latencies_s)
         return xs[min(len(xs) - 1, int(q * len(xs)))]
 
     def snapshot(self) -> dict:
-        return {
-            "requests": self.requests,
-            "dispatches": self.dispatches,
-            "batch_histogram": dict(self.batch_histogram),
-            "mean_queue_wait_s": (
-                self.queue_wait_s_total / self.requests
-                if self.requests else 0.0),
-            "latency_p50_s": self._pct(0.50),
-            "latency_p95_s": self._pct(0.95),
-            "padded_samples": self.padded_samples,
-        }
+        with self.lock:
+            lat = sorted(self.latencies_s)
+            return {
+                "requests": self.requests,
+                "dispatches": self.dispatches,
+                "delivered": self.delivered,
+                "batch_histogram": dict(self.batch_histogram),
+                "mean_queue_wait_s": (
+                    self.queue_wait_s_total / self.dispatched_requests
+                    if self.dispatched_requests else 0.0),
+                "latency_p50_s": self._pct(lat, 0.50),
+                "latency_p95_s": self._pct(lat, 0.95),
+                "padded_samples": self.padded_samples,
+                "padded_points": self.padded_points,
+            }
 
 
 class _Request:
-    __slots__ = ("args", "key", "future", "t_enqueued")
+    __slots__ = ("args", "key", "future", "t_enqueued", "orig_n",
+                 "n_padded")
 
-    def __init__(self, args, key):
+    def __init__(self, args, key, orig_n=None, n_padded=None):
         self.args = args
         self.key = key
         self.future: Future = Future()
         self.t_enqueued = time.perf_counter()
+        # pad_to_points bookkeeping: the caller's true point count and the
+        # bucket it was padded to — delivery truncates output rows back
+        self.orig_n = orig_n
+        self.n_padded = n_padded
 
 
 class BatchingServer:
@@ -167,12 +244,38 @@ class BatchingServer:
             impossible at dp>1). Off by default: the export contract is
             no *silent* padding (module docstring of
             :mod:`haet_tpu.export`); this flag is the explicit consent.
+        pad_to_points: opt-in. A sample whose POINT count N has no exact
+            artifact is padded along axis 0 of every input (repeat-last
+            row, the same policy training uses —
+            ``data/shapenet_car.pad_sample``) up to the smallest exported
+            point bucket that fits, and the output rows are truncated
+            back to N. Unlike batch padding this is **not output-exact**:
+            the rep-slice softmax normalizes over all N points
+            (reference ``Physics_Attention`` dim=2 softmax), so padded
+            rows shift the slice statistics of the real ones. The
+            deviation is small and bounded in
+            ``tests/test_serve.py::test_pad_to_points_deviation_bound``
+            (duplicated points are valid geometry the model has seen in
+            training); it shrinks as N approaches the bucket. Off by
+            default — same explicit-consent contract as ``pad_to_batch``.
+            Assumes axis 0 of every input AND output is the point axis
+            (true for the irregular point-cloud models; do not enable for
+            structured-grid artifacts).
+        pipeline_depth: number of batches allowed in flight at once.
+            1 (default) = classic synchronous loop. 2 = double-buffered:
+            a delivery thread owns the device→host fetch + future
+            delivery, so the dispatcher can assemble and dispatch batch
+            k+1 while batch k's fetch is still on the wire. Compute order
+            is unchanged (the device queue serializes programs); only the
+            host round-trip is hidden. Depths >2 add queueing without
+            more overlap for a single chip but are accepted.
 
     Use as a context manager or call :meth:`close`.
     """
 
     def __init__(self, bundle, variables, *, max_delay_s: float = 0.002,
-                 max_queue: int = 1024, pad_to_batch: bool = False):
+                 max_queue: int = 1024, pad_to_batch: bool = False,
+                 pad_to_points: bool = False, pipeline_depth: int = 1):
         self.bundle = bundle
         self.variables = variables
         # the server holds ONE checkpoint: bake it into the executables
@@ -183,6 +286,11 @@ class BatchingServer:
         self.max_delay_s = float(max_delay_s)
         self.max_queue = int(max_queue)
         self.pad_to_batch = bool(pad_to_batch)
+        self.pad_to_points = bool(pad_to_points)
+        self.pipeline_depth = int(pipeline_depth)
+        if self.pipeline_depth < 1:
+            raise ValueError(
+                f"pipeline_depth must be >= 1, got {pipeline_depth}")
         self.stats = ServerStats()
 
         # batch sizes available per single-sample signature:
@@ -206,19 +314,68 @@ class BatchingServer:
                    if model is not None and hasattr(model, "manifest")
                    else None)
             if dts is not None:
-                self._dtypes_by_sig.setdefault(sig, tuple(dts))
+                prev = self._dtypes_by_sig.get(sig)
+                if prev is not None and prev != tuple(dts):
+                    # fail at construction, not at dispatch: a family
+                    # whose batch sizes were exported with different
+                    # dtypes would pass submit validation against the
+                    # first-seen dtypes, then co-batch and fail EVERY
+                    # request at ExportedModel._check
+                    raise ValueError(
+                        f"inconsistent artifact family: batch sizes of "
+                        f"sample signature {sig} were exported with "
+                        f"different input dtypes ({prev} vs "
+                        f"{tuple(dts)}); re-export the family with one "
+                        "dtype (or use separate bundle roots)")
+                self._dtypes_by_sig[sig] = tuple(dts)
         for sig in self._sizes_by_sig:
             self._sizes_by_sig[sig].sort(reverse=True)
 
         self._lock = threading.Condition()
         self._queues: dict = collections.defaultdict(collections.deque)
         self._closed = False
+        # pipeline_depth>1: dispatched-but-unfetched batches ride this
+        # bounded queue to a delivery thread; the bound is the
+        # backpressure that caps how many batches are in flight
+        self._fetch_q = None
+        self._delivery_thread = None
+        if self.pipeline_depth > 1:
+            import queue
+
+            self._fetch_q = queue.Queue(maxsize=self.pipeline_depth - 1)
+            self._delivery_thread = threading.Thread(
+                target=self._delivery_loop, daemon=True,
+                name="haet-serving-delivery")
+            self._delivery_thread.start()
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True,
                                         name="haet-serving-dispatcher")
         self._thread.start()
 
     # -- client side ----------------------------------------------------
+
+    def _point_bucket_for(self, sig):
+        """Smallest exported signature reachable from ``sig`` by padding
+        the point axis (axis 0 of every array arg, all sharing one N), or
+        ``None``. Trailing dims must match exactly."""
+        n_set = {s[0] for s in sig if len(s)}
+        if len(n_set) != 1:
+            return None
+        n = n_set.pop()
+        best = None
+        for cand in self._sizes_by_sig:
+            if len(cand) != len(sig):
+                continue
+            np_set = {c[0] for c in cand if len(c)}
+            if len(np_set) != 1:
+                continue
+            n_pad = np_set.pop()
+            if n_pad < n:
+                continue
+            if all(c[1:] == s[1:] for c, s in zip(cand, sig)):
+                if best is None or n_pad < best[0]:
+                    best = (n_pad, cand)
+        return best
 
     def submit(self, *args) -> Future:
         """Enqueue ONE sample (arrays shaped ``[...]`` without the batch
@@ -227,10 +384,27 @@ class BatchingServer:
         """
         arrs = tuple(None if a is None else np.asarray(a) for a in args)
         sig = tuple(tuple(np.shape(a)) for a in arrs if a is not None)
+        orig_n = n_padded = None
+        if sig not in self._sizes_by_sig and self.pad_to_points:
+            bucket = self._point_bucket_for(sig)
+            if bucket is not None:
+                n_padded, target = bucket
+                orig_n = sig[0][0]
+                # repeat-last-row padding: the exact policy training uses
+                # (data/shapenet_car.pad_sample), so padded geometry is
+                # in-distribution; output rows >= orig_n are truncated
+                arrs = tuple(
+                    None if a is None else np.concatenate(
+                        [a, np.repeat(a[-1:], n_padded - orig_n, axis=0)])
+                    for a in arrs)
+                sig = target
         if sig not in self._sizes_by_sig:
+            hint = ("" if self.pad_to_points else
+                    " (pad_to_points=True would serve smaller point "
+                    "counts through the nearest larger bucket)")
             raise ValueError(
                 f"no artifact family for sample signature {sig}; "
-                f"available: {sorted(self._sizes_by_sig)}")
+                f"available: {sorted(self._sizes_by_sig)}{hint}")
         dtypes = tuple(a.dtype.name for a in arrs if a is not None)
         want = self._dtypes_by_sig.get(sig)
         if want is not None and dtypes != want:
@@ -243,7 +417,8 @@ class BatchingServer:
         # co-batching key: shapes AND dtypes AND the None positions — only
         # requests whose arg tuples np.stack cleanly may share a batch
         none_mask = tuple(a is None for a in arrs)
-        req = _Request(arrs, (sig, dtypes, none_mask))
+        req = _Request(arrs, (sig, dtypes, none_mask),
+                       orig_n=orig_n, n_padded=n_padded)
         with self._lock:
             if self._closed:
                 raise RuntimeError("server is closed")
@@ -252,7 +427,10 @@ class BatchingServer:
                 raise RuntimeError(
                     f"queue full ({depth} >= max_queue={self.max_queue})")
             self._queues[req.key].append(req)
-            self.stats.requests += 1
+            with self.stats.lock:
+                self.stats.requests += 1
+                if orig_n is not None:
+                    self.stats.padded_points += n_padded - orig_n
             self._lock.notify()
         return req.future
 
@@ -351,35 +529,56 @@ class BatchingServer:
             return (pick, [q.popleft() for _ in range(take)], pad_to), wait
 
     def _dispatch_loop(self):
-        while True:
-            with self._lock:
-                group, wait = self._take_group()
-                while group is None:
-                    if self._closed and not any(
-                            self._queues[s] for s in self._queues):
-                        return
-                    self._lock.wait(timeout=wait)
+        try:
+            while True:
+                with self._lock:
                     group, wait = self._take_group()
-            _, reqs, pad_to = group
-            try:
-                out = self._run_batch(reqs, pad_to)
-            except Exception as e:  # surface to every caller in the batch
-                for r in reqs:
-                    self._deliver(r.future, Future.set_exception, e)
-                continue
-            t = time.perf_counter()
-            self.stats.dispatches += 1
-            self.stats.batch_histogram[len(reqs)] += 1
-            if pad_to is not None:
-                self.stats.padded_samples += pad_to - len(reqs)
-            for i, r in enumerate(reqs):
-                self.stats.queue_wait_s_total += t - r.t_enqueued
-                self.stats.latencies_s.append(t - r.t_enqueued)
-                self._deliver(
-                    r.future, Future.set_result,
-                    jax.tree_util.tree_map(lambda o: np.asarray(o)[i], out))
+                    while group is None:
+                        if self._closed and not any(
+                                self._queues[s] for s in self._queues):
+                            return
+                        self._lock.wait(timeout=wait)
+                        group, wait = self._take_group()
+                _, reqs, pad_to = group
+                try:
+                    out = self._dispatch_batch(reqs, pad_to)
+                except Exception as e:  # surface to every caller
+                    for r in reqs:
+                        self._deliver(r.future, Future.set_exception, e)
+                    continue
+                t = time.perf_counter()
+                with self.stats.lock:
+                    self.stats.dispatches += 1
+                    self.stats.batch_histogram[len(reqs)] += 1
+                    self.stats.dispatched_requests += len(reqs)
+                    if pad_to is not None:
+                        self.stats.padded_samples += pad_to - len(reqs)
+                    for r in reqs:
+                        self.stats.queue_wait_s_total += t - r.t_enqueued
+                if self._fetch_q is None:
+                    self._finish_batch(reqs, out)
+                else:
+                    # double-buffering: hand the device output to the
+                    # delivery thread and go pick the next batch NOW —
+                    # the put blocks once pipeline_depth-1 batches await
+                    # delivery (backpressure)
+                    self._fetch_q.put((reqs, out))
+        finally:
+            # dispatcher is exiting (drain or crash): release the
+            # delivery thread after every in-flight batch lands
+            if self._fetch_q is not None:
+                self._fetch_q.put(None)
 
-    def _run_batch(self, reqs, pad_to=None):
+    def _delivery_loop(self):
+        while True:
+            item = self._fetch_q.get()
+            if item is None:
+                return
+            self._finish_batch(*item)
+
+    def _dispatch_batch(self, reqs, pad_to=None):
+        """Host assembly + device dispatch; returns DEVICE arrays (the
+        jit call is async — it does not wait for execution)."""
         args = []
         for j in range(len(reqs[0].args)):
             if reqs[0].args[j] is None:
@@ -393,11 +592,34 @@ class BatchingServer:
                         [a, np.repeat(a[-1:], pad_to - len(reqs), axis=0)])
                 args.append(a)
         if self._bound is not None:
-            out = self._bound.predict(*args)
-        else:
-            out = self.bundle.predict(self.variables, *args)
-        # fetch once for the whole batch (one device->host transfer)
-        return jax.tree_util.tree_map(np.asarray, out)
+            return self._bound.predict(*args)
+        return self.bundle.predict(self.variables, *args)
+
+    def _finish_batch(self, reqs, out):
+        """The blocking device→host fetch + per-request delivery."""
+        try:
+            # fetch once for the whole batch (one device->host transfer)
+            host = jax.tree_util.tree_map(np.asarray, out)
+        except Exception as e:  # device-side failure surfaces at fetch
+            for r in reqs:
+                self._deliver(r.future, Future.set_exception, e)
+            return
+        t = time.perf_counter()
+        with self.stats.lock:
+            self.stats.delivered += len(reqs)
+            for r in reqs:
+                self.stats.latencies_s.append(t - r.t_enqueued)
+        for i, r in enumerate(reqs):
+            res = jax.tree_util.tree_map(lambda o: np.asarray(o)[i], host)
+            if r.orig_n is not None:
+                # pad_to_points: truncate the synthesized rows back off.
+                # Only leaves whose axis 0 is the padded point count are
+                # point-major; anything else passes through untouched.
+                res = jax.tree_util.tree_map(
+                    lambda o: (o[: r.orig_n]
+                               if np.ndim(o) and len(o) == r.n_padded
+                               else o), res)
+            self._deliver(r.future, Future.set_result, res)
 
     def reload(self, variables, *, warmup: bool = True):
         """Hot-swap the served checkpoint without restarting the server.
@@ -462,6 +684,10 @@ class BatchingServer:
                             RuntimeError("server closed before dispatch"))
             self._lock.notify_all()
         self._thread.join()
+        if self._delivery_thread is not None:
+            # the dispatcher's exit sentinel is already queued (its
+            # finally block) — wait for the last in-flight fetches
+            self._delivery_thread.join()
 
     def __enter__(self):
         return self

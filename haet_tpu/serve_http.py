@@ -39,6 +39,7 @@ import argparse
 import io
 import json
 import sys
+import threading
 from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -57,7 +58,8 @@ def _npz_bytes(**arrays) -> bytes:
 
 def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
                 port: int = 8000, *,
-                request_timeout_s: float = 300.0) -> ThreadingHTTPServer:
+                request_timeout_s: float = 300.0,
+                reload_fn=None) -> ThreadingHTTPServer:
     """Wrap a running :class:`BatchingServer` in a ThreadingHTTPServer.
 
     Returns the (not yet started) HTTP server; call ``serve_forever()``
@@ -66,7 +68,15 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
     ``request_timeout_s`` bounds how long one POST may wait on the
     batcher before answering 504 (handler threads must not pin forever
     if a dispatch hangs).
+
+    ``reload_fn(which: str) -> None`` enables the ``POST /reload`` admin
+    endpoint (zero-downtime weight swap): it should load the named
+    checkpoint and call :meth:`BatchingServer.reload`. The CLI wires it
+    to its ``--checkpoint`` directory; without it /reload answers 501.
+    Reloads are serialized by a lock; in-flight predictions finish on the
+    old weights, later ones use the new (``BatchingServer.reload``).
     """
+    reload_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         # one log line per request is noise at serving rates
@@ -96,17 +106,22 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
                 self._send_json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):  # noqa: N802
+            if self.path == "/reload":
+                self._do_reload()
+                return
             if self.path != "/predict":
                 self._send_json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 with np.load(io.BytesIO(self.rfile.read(length))) as z:
-                    keys = sorted(z.files)
-                    expect = [f"arg{i}" for i in range(len(keys))]
-                    if keys != expect:
+                    # validate the KEY SET, not a sorted list —
+                    # lexicographic order puts 'arg10' before 'arg2'
+                    expect = [f"arg{i}" for i in range(len(z.files))]
+                    if set(z.files) != set(expect):
                         raise ValueError(
-                            f"npz keys must be arg0..argN, got {keys}")
+                            f"npz keys must be arg0..argN, got "
+                            f"{sorted(z.files)}")
                     args = [z[k] for k in expect]
             except Exception as e:
                 # anything unparseable is the CLIENT's error: zipfile.
@@ -146,6 +161,34 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
                 return
             self._send(200, _npz_bytes(output=np.asarray(out)),
                        "application/octet-stream")
+
+        def _do_reload(self):
+            """POST /reload — body: optional JSON ``{"which": "best"}``.
+            Swaps the served checkpoint with zero downtime (new weights
+            are compiled before the swap; no in-flight request fails)."""
+            if reload_fn is None:
+                self._send_json(501, {
+                    "error": "reload is not configured (make_server "
+                             "reload_fn / CLI --checkpoint)"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length) if length else b""
+                which = (json.loads(body).get("which", "best")
+                         if body.strip() else "best")
+            except Exception as e:
+                self._send_json(400, {"error": f"bad reload body: {e}"})
+                return
+            try:
+                with reload_lock:  # one reload at a time
+                    reload_fn(which)
+            except FileNotFoundError as e:
+                self._send_json(404, {"error": str(e)})
+                return
+            except Exception as e:  # pragma: no cover - surfaced verbatim
+                self._send_json(500, {"error": repr(e)})
+                return
+            self._send_json(200, {"reloaded": which})
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -214,6 +257,19 @@ def main(argv=None):
                     help="compile every exported program before "
                          "accepting traffic (no cold-compile on the "
                          "first requests)")
+    ap.add_argument("--pad_to_points", type=int, default=0,
+                    help="1: serve samples whose point count has no "
+                         "exact artifact by repeat-last-row padding to "
+                         "the nearest larger exported bucket (outputs "
+                         "truncated back; NOT output-exact — see "
+                         "BatchingServer docs); 0 (default): exact-N "
+                         "signatures only")
+    ap.add_argument("--pipeline_depth", type=int, default=2,
+                    help="batches in flight at once; 2 (default) "
+                         "overlaps the next batch's assembly+dispatch "
+                         "with the current one's device->host fetch — "
+                         "on a tunneled chip the fetch RTT dominates; "
+                         "1 = classic synchronous dispatch")
     args = ap.parse_args(argv)
 
     from .export import ServingBundle
@@ -233,12 +289,19 @@ def main(argv=None):
     with BatchingServer(bundle, variables,
                         max_delay_s=args.max_delay_ms / 1e3,
                         max_queue=args.max_queue,
-                        pad_to_batch=pad) as srv:
+                        pad_to_batch=pad,
+                        pad_to_points=bool(args.pad_to_points),
+                        pipeline_depth=args.pipeline_depth) as srv:
         if args.warmup:
             print("warming up (compiling every exported program)...")
             srv.warmup()
+
+        def reload_fn(which):
+            srv.reload(_load_variables(args.checkpoint, which))
+
         httpd = make_server(srv, args.host, args.port,
-                            request_timeout_s=args.request_timeout_s)
+                            request_timeout_s=args.request_timeout_s,
+                            reload_fn=reload_fn)
         print(f"serving {len(bundle.shapes())} artifact(s) on "
               f"http://{args.host}:{httpd.server_address[1]} "
               f"(max_delay={args.max_delay_ms} ms)")

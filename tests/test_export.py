@@ -247,6 +247,38 @@ def test_multichip_dp_artifact(tmp_path):
                                ref, rtol=1e-5, atol=1e-6)
 
 
+def test_multichip_misplaced_input_is_resharded(tmp_path):
+    """An input already committed under a DIFFERENT mesh/spec must be
+    re-placed to the artifact's data sharding, not passed through on the
+    device-count shortcut (ADVICE r4: _place skipped device_put for any
+    multi-device array, letting a wrong layout fail opaquely inside the
+    call)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    model, v, _, _ = _tiny()
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("dp",))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 256, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (8, 256, 1))
+    p = save_artifact(str(tmp_path / "dp8r"), model, v, (x, fx),
+                      mesh=mesh)
+    em = load_artifact(p, mesh=mesh)
+    ref = np.asarray(model.apply(v, x, fx, train=False))
+
+    # commit x across the SAME devices but sharded on the POINTS axis of
+    # a differently-named mesh — multi-device, yet not the artifact's
+    # batch-axis NamedSharding
+    other = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("pts",))
+    x_bad = jax.device_put(x, NamedSharding(other, P(None, "pts")))
+    assert len(x_bad.sharding.device_set) == 8
+    out = em(v, x_bad, np.asarray(fx))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+    # and an input already in the RIGHT sharding passes through untouched
+    x_ok = jax.device_put(x, em._data_sharding)
+    out2 = em(v, x_ok, np.asarray(fx))
+    np.testing.assert_allclose(np.asarray(out2), ref, rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_multichip_export_validation(tmp_path):
     from jax.sharding import Mesh
 

@@ -385,3 +385,254 @@ def test_cancelled_requests_are_dropped_not_dispatched(bundle_env):
     assert f1.cancel() and f2.cancel()
     srv.close(drain=True)  # drain finds only cancelled requests
     assert srv.stats.snapshot()["dispatches"] == 0
+
+
+# -- point-bucket families / pad_to_points (ragged point clouds) ---------
+
+
+@pytest.fixture(scope="module")
+def point_family_env(tmp_path_factory):
+    """A two-bucket point family (N=64 and N=128) for the ragged-fold
+    serving path — the reference eval consumes every car sample at its
+    NATIVE point count (main_evaluation.py per-sample loop); static-shape
+    artifacts serve that via buckets + opt-in padding."""
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
+        n_head=4, slice_num=8, rotate=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    root = str(tmp_path_factory.mktemp("point_family"))
+    serve.export_point_family(root, model, variables, (x, fx),
+                              point_buckets=(N_PTS, 2 * N_PTS),
+                              batch_sizes=(1, 2))
+    bundle = hexport.ServingBundle.load(root)
+    return model, variables, bundle
+
+
+def _ragged_sample(seed, n):
+    r = np.random.RandomState(seed)
+    return (r.randn(n, 3).astype(np.float32),
+            r.randn(n, 1).astype(np.float32))
+
+
+def test_export_point_family_layout(point_family_env):
+    _, _, bundle = point_family_env
+    sigs = {(key[0][0], key[0][1]) for key in bundle.shapes()}
+    # (batch, points) grid: 2 buckets x 2 batch sizes
+    assert sigs == {(1, N_PTS), (2, N_PTS), (1, 2 * N_PTS),
+                    (2, 2 * N_PTS)}
+
+
+def test_export_point_family_mismatched_point_axes_raises(bundle_env):
+    model, variables, _ = bundle_env
+    x = np.zeros((1, N_PTS, 3), np.float32)
+    fx = np.zeros((1, N_PTS + 1, 1), np.float32)
+    with pytest.raises(ValueError, match="disagree on the point axis"):
+        serve.export_point_family("/nonexistent", model, variables,
+                                  (x, fx), point_buckets=(N_PTS,))
+
+
+def test_pad_to_points_off_by_default_with_hint(point_family_env):
+    _, variables, bundle = point_family_env
+    with serve.BatchingServer(bundle, variables) as srv:
+        with pytest.raises(ValueError, match="pad_to_points"):
+            srv.submit(*_ragged_sample(0, N_PTS - 8))
+
+
+def test_pad_to_points_serves_ragged_fold(point_family_env):
+    """A ragged synthetic fold (3 distinct Ns, none except one matching a
+    bucket) is served end-to-end: every output comes back at the CALLER's
+    point count and padded rows never leak. Exact-N requests bypass
+    padding entirely (padded_points counts only synthesized rows)."""
+    model, variables, bundle = point_family_env
+    ns = [N_PTS - 16, N_PTS, 2 * N_PTS - 40]  # ragged; one exact
+    with serve.BatchingServer(bundle, variables, max_delay_s=0.01,
+                              pad_to_points=True) as srv:
+        samples = [_ragged_sample(i, n) for i, n in enumerate(ns)]
+        futs = [srv.submit(x, fx) for x, fx in samples]
+        outs = [f.result(timeout=120) for f in futs]
+    for n, out in zip(ns, outs):
+        assert out.shape == (n, 2)
+    # the exact-N sample is bit-identical to the direct apply (no padding
+    # was involved for it)
+    x, fx = samples[1]
+    direct = model.apply(variables, x[None], fx[None], train=False)
+    np.testing.assert_allclose(outs[1], np.asarray(direct)[0],
+                               rtol=2e-5, atol=2e-5)
+    snap = srv.stats.snapshot()
+    assert snap["padded_points"] == 16 + 40, snap
+
+
+def test_pad_to_points_deviation_bound(point_family_env):
+    """Point padding is NOT output-exact (the rep-slice softmax
+    normalizes over all N points — padded rows shift the slice statistics
+    of real ones; BatchingServer docstring says so). This pins the
+    measured deviation envelope: rel-L2 vs the unpadded native-N forward
+    stays under 10% even at a 12.5% pad fraction and under 2% at ~2%,
+    shrinking monotonically as N approaches the bucket (measured on this
+    config: 0.031 at 56->64, 0.004 at 63->64)."""
+    model, variables, bundle = point_family_env
+    app = jax.jit(lambda v, x, fx: model.apply(v, x, fx, train=False))
+    devs = {}
+    with serve.BatchingServer(bundle, variables, max_delay_s=0.0,
+                              pad_to_points=True) as srv:
+        for n in (N_PTS - 8, N_PTS - 1):
+            x, fx = _ragged_sample(n, n)
+            served = srv.predict(x, fx, timeout=120)
+            native = np.asarray(app(variables, x[None], fx[None]))[0]
+            devs[n] = (np.linalg.norm(served - native)
+                       / np.linalg.norm(native))
+    assert devs[N_PTS - 8] < 0.10, devs
+    assert devs[N_PTS - 1] < 0.02, devs
+    assert devs[N_PTS - 1] < devs[N_PTS - 8], devs
+
+
+def test_pad_to_points_picks_smallest_bucket(point_family_env):
+    """N between the buckets rides the SMALLEST bucket that fits (the
+    128 one), not the first seen."""
+    _, variables, bundle = point_family_env
+    n = N_PTS + 8
+    with serve.BatchingServer(bundle, variables, max_delay_s=0.0,
+                              pad_to_points=True) as srv:
+        out = srv.predict(*_ragged_sample(0, n), timeout=120)
+        assert out.shape == (n, 2)
+        assert srv.stats.snapshot()["padded_points"] == 2 * N_PTS - n
+
+
+def test_pad_to_points_never_truncates_larger_requests(point_family_env):
+    """A request LARGER than every bucket must fail loudly — truncation
+    would silently drop caller geometry."""
+    _, variables, bundle = point_family_env
+    with serve.BatchingServer(bundle, variables,
+                              pad_to_points=True) as srv:
+        with pytest.raises(ValueError, match="no artifact family"):
+            srv.submit(*_ragged_sample(0, 2 * N_PTS + 1))
+
+
+# -- pipeline_depth (double-buffered dispatch) ---------------------------
+
+
+def test_pipeline_depth_matches_direct_apply(bundle_env):
+    """pipeline_depth=2: outputs are identical to synchronous dispatch
+    (the overlap hides the device->host fetch, it must not reorder or
+    mix up deliveries) and the delivered counter reconciles."""
+    model, variables, bundle = bundle_env
+    with serve.BatchingServer(bundle, variables, max_delay_s=0.0,
+                              pipeline_depth=2) as srv:
+        samples = [_sample(i) for i in range(9)]
+        futs = [srv.submit(x, fx) for x, fx in samples]
+        outs = [f.result(timeout=120) for f in futs]
+    for (x, fx), out in zip(samples, outs):
+        direct = model.apply(variables, x[None], fx[None], train=False)
+        np.testing.assert_allclose(out, np.asarray(direct)[0],
+                                   rtol=2e-5, atol=2e-5)
+    snap = srv.stats.snapshot()
+    assert snap["delivered"] == snap["requests"] == 9, snap
+    assert not srv._delivery_thread.is_alive()
+
+
+def test_pipeline_depth_close_drains(bundle_env):
+    """close(drain=True) must wait for batches already handed to the
+    delivery thread — no future may be left forever-pending."""
+    _, variables, bundle = bundle_env
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=0.0,
+                               pipeline_depth=3)
+    futs = [srv.submit(*_sample(i)) for i in range(6)]
+    srv.close(drain=True)
+    for f in futs:
+        assert f.result(timeout=60).shape == (N_PTS, 2)
+    assert not srv._delivery_thread.is_alive()
+
+
+def test_pipeline_depth_fetch_error_fails_only_its_batch():
+    """A device-side failure that surfaces at the FETCH (delivery thread)
+    fails that batch's futures and leaves the server serving."""
+
+    class Boom:
+        def __array__(self):
+            raise RuntimeError("device exploded at fetch")
+
+    class StubBundle:
+        def __init__(self):
+            self.calls = 0
+
+        def shapes(self):
+            return [((1, 4),)]
+
+        def predict(self, variables, *args):
+            self.calls += 1
+            if self.calls == 1:
+                return Boom()
+            return np.full((1, 3), self.calls, np.float32)
+
+    srv = serve.BatchingServer(StubBundle(), variables=None,
+                               max_delay_s=0.0, pipeline_depth=2)
+    try:
+        bad = srv.submit(np.zeros((4,), np.float32))
+        with pytest.raises(RuntimeError, match="device exploded"):
+            bad.result(timeout=30)
+        ok = srv.predict(np.zeros((4,), np.float32), timeout=30)
+        assert ok.shape == (3,)
+    finally:
+        srv.close()
+    snap = srv.stats.snapshot()
+    assert snap["delivered"] == 1, snap  # only the good request delivered
+
+
+def test_pipeline_depth_validates():
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        serve.BatchingServer(object(), None, pipeline_depth=0)
+
+
+def test_inconsistent_family_dtypes_raise_at_construction():
+    """A bundle whose batch sizes of ONE sample signature were exported
+    with different dtypes must fail at server construction — at dispatch
+    it would co-batch fine-looking requests and fail all of them."""
+
+    class StubModel:
+        def __init__(self, dts):
+            self.manifest = {"input_dtypes": dts}
+
+    class StubBundle:
+        def __init__(self):
+            self._by_key = {((1, 4),): StubModel(("float32",)),
+                            ((2, 4),): StubModel(("bfloat16",))}
+
+        def shapes(self):
+            return list(self._by_key)
+
+        def predict(self, variables, *args):  # pragma: no cover
+            raise AssertionError("must not dispatch")
+
+    with pytest.raises(ValueError, match="inconsistent artifact family"):
+        serve.BatchingServer(StubBundle(), variables=None)
+
+
+def test_mean_queue_wait_counts_only_dispatched():
+    """Queued-but-never-dispatched requests must not deflate
+    mean_queue_wait_s (ADVICE r4: the old denominator was `requests`)."""
+
+    class StubBundle:
+        def shapes(self):
+            return [((1, 4),)]
+
+        def predict(self, variables, *args):
+            return np.zeros((1, 3), np.float32)
+
+    srv = serve.BatchingServer(StubBundle(), None, max_delay_s=60.0)
+    try:
+        srv.predict(np.zeros((4,), np.float32), timeout=30)
+        # park one request in the queue (never dispatched before close)
+        time.sleep(0.01)
+        parked = srv.submit(np.zeros((4,), np.float32))
+        parked.cancel()
+        snap = srv.stats.snapshot()
+        assert snap["requests"] == 2
+        assert snap["delivered"] == 1
+        # denominator is dispatched requests (1), not submitted (2)
+        assert srv.stats.dispatched_requests == 1
+        assert snap["mean_queue_wait_s"] == pytest.approx(
+            srv.stats.queue_wait_s_total / 1)
+    finally:
+        srv.close()

