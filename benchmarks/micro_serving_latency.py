@@ -27,7 +27,16 @@ tunneled chip:
 Prints one JSON line with both, plus samples/sec/chip and the ratio vs
 the A100 baseline.
 
+``--tp K`` adds a head-TP variant: the same b1 program exported over a
+K-device ``("tp",)`` mesh (model ``shard_axes=(None, "tp")``, export
+``data_axis=None`` — one sample spans K chips, heads partitioned). On the
+single tunneled chip this runs with K *virtual CPU* devices
+(``HAET_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=K``)
+as a correctness + relative-cost probe: numerics are asserted equal to the
+unsharded artifact before any timing.
+
 Usage: python benchmarks/micro_serving_latency.py [--n 32186] [--rounds 6]
+       [--tp 8]
 """
 
 from __future__ import annotations
@@ -95,6 +104,11 @@ def main():
     ap.add_argument("--n", type=int, default=32186,
                     help="points per sample (reference car meshes ~32k)")
     ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--tp", type=int, default=0,
+                    help="also export/measure a b1 program spanning this "
+                         "many devices via head-TP (needs that many "
+                         "devices: virtual CPU for correctness, a real "
+                         "multi-chip slice for speed)")
     args = ap.parse_args()
 
     import dataclasses
@@ -109,6 +123,24 @@ def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(1, args.n, 7).astype(np.float32))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, None)
+
+    tp_mesh = model_tp = None
+    if args.tp:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} needs {args.tp} devices, have "
+                f"{len(devs)} (CPU: set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={args.tp})")
+        if cfg.n_head % args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} must divide n_head={cfg.n_head}")
+        tp_mesh = Mesh(np.asarray(devs[:args.tp]).reshape(args.tp),
+                       ("tp",))
+        model_tp = dataclasses.replace(
+            cfg, shard_axes=(None, "tp")).build()
 
     # --- serving path: AOT artifact round-tripped through disk ----------
     with tempfile.TemporaryDirectory() as td:
@@ -136,10 +168,41 @@ def main():
             out = model.apply(variables, v, None, train=False)
             return v + (1e-12 * jnp.mean(out)).astype(v.dtype)
 
-        res = measure({"aot": aot_call, "aot_bound": aot_bound_call,
-                       "jit": jit_fwd}, x, args.rounds)
+        calls = {"aot": aot_call, "aot_bound": aot_bound_call,
+                 "jit": jit_fwd}
+
+        tp_info = None
+        if tp_mesh is not None:
+            tp_dir = os.path.join(td, "artifact_tp")
+            hexport.save_artifact(tp_dir, model_tp, variables, (x, None),
+                                  mesh=tp_mesh, data_axis=None)
+            served_tp = hexport.load_artifact(tp_dir, mesh=tp_mesh)
+            bound_tp = served_tp.bind(variables)
+            # correctness gate BEFORE timing: the tp-sharded b1 program
+            # must equal the unsharded artifact
+            o_tp = np.asarray(bound_tp(x), np.float32)
+            o_one = np.asarray(bound(x), np.float32)
+            max_dev = float(np.abs(o_tp - o_one).max())
+            scale = float(np.abs(o_one).max())
+            assert max_dev <= 1e-3 * max(scale, 1.0), (
+                f"tp-sharded artifact deviates: {max_dev} vs scale "
+                f"{scale}")
+            tp_info = {"devices": args.tp, "max_abs_dev_vs_1chip": max_dev}
+
+            def aot_tp_call(v):
+                out = bound_tp(v)
+                return v + (1e-12 * jnp.mean(out)).astype(v.dtype)
+
+            calls["aot_tp_bound"] = aot_tp_call
+
+        res = measure(calls, x, args.rounds)
     (e2e_aot, dev_aot), (e2e_jit, dev_jit) = res["aot"], res["jit"]
     e2e_b, dev_b = res["aot_bound"]
+    if tp_info is not None:
+        e2e_tp, dev_tp = res["aot_tp_bound"]
+        tp_info.update(e2e_latency_s=round(e2e_tp, 5),
+                       device_latency_s=round(dev_tp, 5),
+                       samples_per_sec=round(1.0 / dev_tp, 1))
 
     print(json.dumps({
         "metric": "serving_latency_batch1",
@@ -155,6 +218,7 @@ def main():
         "baseline_a100_s": BASELINE_LATENCY_S,
         "vs_baseline_device": round(BASELINE_LATENCY_S / dev_b, 1),
         "platform": jax.devices()[0].platform,
+        **({"aot_tp_bound": tp_info} if tp_info is not None else {}),
     }))
 
 

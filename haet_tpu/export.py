@@ -95,7 +95,17 @@ def export_apply(
             inference over the whole mesh with XLA-inserted collectives.
             The batch must divide the ``data_axis`` size. Incompatible
             with ``platforms`` (sharded lowering pins the backend).
-        data_axis: mesh axis name for the batch dimension.
+        data_axis: mesh axis name for the batch dimension, or ``None``
+            to replicate the inputs/outputs over the mesh. ``None`` is
+            how a SINGLE sample spans several chips: build the model
+            with head-TP sharding constraints
+            (``shard_axes=(None, "tp")``, see
+            ``models/physics_attention.py``) and export over a
+            ``("tp",)`` mesh — the ``[B, H, N, *]`` intermediates are
+            partitioned heads-over-chips by XLA SPMD while the b1
+            input/output stay replicated. (The reference serves strictly
+            per-sample on one GPU, ``main_evaluation.py``; dp-only
+            export could never put one sample on >1 chip.)
     """
     args = tuple(a for a in example_args if a is not None)
     return _export_fn(_apply_fn(model), variables, args,
@@ -200,15 +210,24 @@ def _export_fn(fn, variables, args, *, platforms=None, mesh=None,
         raise ValueError(
             "mesh= and platforms= are mutually exclusive: a sharded "
             "lowering pins the backend the mesh lives on")
-    n_dp = int(mesh.shape[data_axis])
-    for a in args:
-        if np.shape(a)[0] % n_dp:
-            raise ValueError(
-                f"batch {np.shape(a)[0]} does not divide the "
-                f"'{data_axis}' mesh axis ({n_dp}); export batch sizes "
-                "that are multiples of the data-parallel degree")
     repl = NamedSharding(mesh, P())
-    data_s = NamedSharding(mesh, P(data_axis))
+    if data_axis is None:
+        # replicated inputs/outputs: the parallelism comes from the
+        # model's OWN sharding constraints (head-TP / point sharding),
+        # applied at trace time under the mesh context below — this is
+        # the single-sample multi-chip route (export_apply docstring)
+        data_s = repl
+    else:
+        n_dp = int(mesh.shape[data_axis])
+        for a in args:
+            if np.shape(a)[0] % n_dp:
+                raise ValueError(
+                    f"batch {np.shape(a)[0]} does not divide the "
+                    f"'{data_axis}' mesh axis ({n_dp}); export batch "
+                    "sizes that are multiples of the data-parallel "
+                    "degree, or pass data_axis=None for replicated "
+                    "inputs (model-internal sharding)")
+        data_s = NamedSharding(mesh, P(data_axis))
     spec_w = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype,
                                        sharding=repl), variables)
@@ -360,9 +379,12 @@ class ExportedModel:
                     f"{exported.nr_devices}")
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # data_axis None (stored as JSON null) = replicated inputs:
+            # the single-sample head-TP route (export_apply docstring)
             axis = manifest.get("data_axis", "dp")
             self._mesh = mesh
-            self._data_sharding = NamedSharding(mesh, P(axis))
+            self._data_sharding = NamedSharding(
+                mesh, P(axis) if axis is not None else P())
             self._repl_sharding = NamedSharding(mesh, P())
 
     @property

@@ -14,6 +14,7 @@ from .mesh import (  # noqa: F401
 )
 from .pipeline import (  # noqa: F401
     PipelinedModel,
+    merge_raw_variables,
     merge_variables,
     split_variables,
 )

@@ -247,6 +247,79 @@ def test_multichip_dp_artifact(tmp_path):
                                ref, rtol=1e-5, atol=1e-6)
 
 
+def test_multichip_tp_b1_artifact(tmp_path):
+    """Single-sample multi-chip inference (VERDICT r4 missing #3): a
+    model built with head-TP sharding constraints exports a BATCH-1
+    program that spans a ("tp",) mesh — data_axis=None replicates the
+    input/output while XLA SPMD partitions the [B, H, N, *]
+    intermediates heads-over-chips. Numerics must equal the unsharded
+    artifact; dp-only export could never put one sample on >1 chip."""
+    from jax.sharding import Mesh
+
+    model_tp = HAETransolver_Irregular_Mesh(
+        space_dim=3, n_layers=1, n_hidden=32, n_head=4, slice_num=8,
+        fun_dim=1, out_dim=2, shard_axes=(None, "tp"))
+    model_plain = HAETransolver_Irregular_Mesh(
+        space_dim=3, n_layers=1, n_hidden=32, n_head=4, slice_num=8,
+        fun_dim=1, out_dim=2)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("tp",))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 1))
+    with mesh:
+        v = jax.jit(model_tp.init)(jax.random.PRNGKey(0), x, fx)
+
+    p = save_artifact(str(tmp_path / "tp4_b1"), model_tp, v, (x, fx),
+                      mesh=mesh, data_axis=None)
+    man = json.load(open(os.path.join(p, "manifest.json")))
+    assert man["nr_devices"] == 4 and man["data_axis"] is None
+
+    em = load_artifact(p, mesh=mesh)
+    out = em(v, np.asarray(x), np.asarray(fx))
+    assert len(out.sharding.device_set) == 4  # really spans the mesh
+    ref = np.asarray(model_plain.apply(v, x, fx, train=False))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+    # bound path (what BatchingServer uses) agrees too
+    bound = em.bind(v)
+    np.testing.assert_allclose(np.asarray(bound(np.asarray(x),
+                                                np.asarray(fx))),
+                               ref, rtol=1e-5, atol=1e-5)
+
+
+def test_tp_b1_family_serves_through_batching_server(tmp_path):
+    """The tp-sharded b1 family flows through export_batch_family and
+    BatchingServer end-to-end: single requests ride a program spanning
+    the mesh with no pad_to_batch consent needed (unlike dp>1 families,
+    whose smallest program is the dp degree)."""
+    from jax.sharding import Mesh
+
+    from haet_tpu import serve
+
+    model_tp = HAETransolver_Irregular_Mesh(
+        space_dim=3, n_layers=1, n_hidden=32, n_head=4, slice_num=8,
+        fun_dim=1, out_dim=2, shard_axes=(None, "tp"))
+    model_plain = HAETransolver_Irregular_Mesh(
+        space_dim=3, n_layers=1, n_hidden=32, n_head=4, slice_num=8,
+        fun_dim=1, out_dim=2)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("tp",))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 1))
+    with mesh:
+        v = jax.jit(model_tp.init)(jax.random.PRNGKey(0), x, fx)
+    root = str(tmp_path / "tp_family")
+    serve.export_batch_family(root, model_tp, v, (x, fx),
+                              batch_sizes=(1, 2), mesh=mesh,
+                              data_axis=None)
+    bundle = ServingBundle.load(root, mesh=mesh)
+    r = np.random.RandomState(0)
+    xs = r.randn(256, 3).astype(np.float32)
+    fs = r.randn(256, 1).astype(np.float32)
+    with serve.BatchingServer(bundle, v, max_delay_s=0.0) as srv:
+        out = srv.predict(xs, fs, timeout=300)
+    ref = np.asarray(model_plain.apply(v, xs[None], fs[None],
+                                       train=False))[0]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_multichip_misplaced_input_is_resharded(tmp_path):
     """An input already committed under a DIFFERENT mesh/spec must be
     re-placed to the artifact's data sharding, not passed through on the
