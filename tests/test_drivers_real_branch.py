@@ -388,7 +388,7 @@ def test_parity_repro_on_fixture_datasets(tmp_path):
     cmd = [
         sys.executable, os.path.join(BENCH, "parity_repro.py"),
         "--data_root", str(tmp_path / "data"),
-        "--tasks", "pipe,elas",
+        "--tasks", "pipe,elas,plas",
         "--epochs", "2",
         "--workdir", str(tmp_path / "runs"),
         "--out", str(out_md),
@@ -405,8 +405,14 @@ def test_parity_repro_on_fixture_datasets(tmp_path):
     assert "0.00505" in table and "0.10848" in table
     # our fresh numbers parsed and finite
     for line in table.splitlines():
-        if line.startswith("| pipe") or line.startswith("| elas"):
+        if line.startswith(("| pipe", "| elas", "| plas")):
             ours = float(line.split("|")[4])
             assert np.isfinite(ours)
+    # plasticity is a RECORD row: the reference never produced a number
+    # (overall_results.md:10) — its row must say so instead of faking a
+    # reference value (VERDICT r4 #8)
+    plas_line = next(ln for ln in table.splitlines()
+                     if ln.startswith("| plas"))
+    assert "| — |" in plas_line and "recording ours" in plas_line
     # the epochs override is loudly marked as non-reference
     assert "NOT the reference schedule" in table
