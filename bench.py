@@ -60,6 +60,13 @@ PROBE_FLOPS = 2 * PROBE_DIM ** 3 * PROBE_ITERS  # 2.2 TFLOP
 # and the r1 quiet-session MFU 0.73). If a dedicated chip ever measures
 # the probe higher than the fallback, commit that figure here with its
 # provenance; chip_share_est clips at 1.0 regardless.
+# COMMITTED EVIDENCE (r5): docs/measurements/mfu_sweep_r5.jsonl (MFU vs
+# N 32k->1M, per-row chip-share probe: share-adjusted MFU flat ~0.45 for
+# N>=131k while raw MFU tracks the share) and quiet_step_r5.jsonl
+# (repeated 32k samples across the round; quietest observation recorded)
+# substantiate that this bench's value is chip-share-bound, not
+# code-bound. Produced by benchmarks/mfu_sweep.py; table in
+# docs/benchmarks.md "Chip-share evidence".
 PROBE_QUIET_TFLOPS = None
 # Analytic fallback if XLA cost analysis is unavailable: ~5.8 MFLOPs/point
 # fwd+bwd for the flagship 1.76M-param config (VERDICT r2 accounting).
