@@ -14,11 +14,15 @@ Covers:
 - ``serve.export_batch_family``: one StableHLO program per batch size
   (batch is part of the compiled program on TPU — static shapes);
 - ``serve.BatchingServer``: futures-based submit, greedy
-  largest-program dispatch, warmup, batch-size histogram;
+  largest-program dispatch, warmup, batch-size histogram,
+  ``pipeline_depth=2`` double-buffered dispatch;
 - the checkpoint pre-bound into the executables (``ExportedModel.bind``
   — measured 2.3x faster dispatch than weight-passing on a v5e);
 - ``serve_http.make_server``: concurrent HTTP POSTs co-batching
-  automatically, npz in / npz out.
+  automatically, npz in / npz out; ``POST /reload`` zero-downtime
+  checkpoint swap;
+- ragged point counts: ``export_point_family`` buckets + opt-in
+  ``pad_to_points`` (outputs truncated back to the caller's N).
 """
 
 import io
@@ -54,13 +58,22 @@ variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1, fx1)
 # `python -m haet_tpu.serve_http --checkpoint RUN_DIR`)
 
 with tempfile.TemporaryDirectory() as root:
-    # one AOT program per batch size, one bundle root
-    serve.export_batch_family(root, model, variables, (x1, fx1),
+    # one AOT program per (point bucket x batch size), one bundle root:
+    # the N and 2N buckets let pad_to_points serve RAGGED point counts
+    # (real car folds are ~29-38k points per mesh at native N)
+    serve.export_point_family(root, model, variables, (x1, fx1),
+                              point_buckets=(N, 2 * N),
                               batch_sizes=(1, 2, 4))
     bundle = ServingBundle.load(root)
-    print(f"exported batch family: {[k[0][0] for k in bundle.shapes()]}")
+    print(f"exported batch family: "
+          f"{sorted((k[0][0], k[0][1]) for k in bundle.shapes())}")
 
-    with serve.BatchingServer(bundle, variables, max_delay_s=0.05) as srv:
+    # pipeline_depth=2: assemble/dispatch the next batch while the
+    # previous batch's device->host fetch is in flight (measured 1.35x
+    # request throughput through a high-RTT link)
+    with serve.BatchingServer(bundle, variables, max_delay_s=0.05,
+                              pad_to_points=True,
+                              pipeline_depth=2) as srv:
         srv.warmup()  # compile every program before taking traffic
 
         # --- direct (in-process) clients --------------------------------
@@ -100,6 +113,22 @@ with tempfile.TemporaryDirectory() as root:
         np.testing.assert_allclose(out_http, np.asarray(ref7)[0],
                                    rtol=2e-5, atol=2e-5)
         print("HTTP predict == direct apply")
+
+        # --- a ragged request: no exact artifact for N-16 points --------
+        r = np.random.RandomState(9)
+        rx = r.randn(N - 16, 3).astype(np.float32)
+        rf = r.randn(N - 16, 1).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, arg0=rx, arg1=rf)
+        req = urllib.request.Request(base + "/predict", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            with np.load(io.BytesIO(resp.read())) as z:
+                out_ragged = z["output"]
+        # served via the N bucket (repeat-last-row pad), truncated back
+        assert out_ragged.shape == (N - 16, 1), out_ragged.shape
+        print(f"ragged {N - 16}-point request served through the "
+              f"{N} bucket (padded_points="
+              f"{srv.stats.snapshot()['padded_points']})")
         httpd.shutdown()
         httpd.server_close()
 

@@ -279,6 +279,60 @@ def test_reload_endpoint_swaps_weights_mid_traffic(tmp_path):
         srv.close()
 
 
+def test_ragged_fold_through_http(tmp_path):
+    """VERDICT r4 #1 'Done' criterion: a ragged synthetic car-like fold
+    (3 distinct point counts, none matching a bucket exactly except one)
+    served end-to-end through serve_http with pad_to_points — every
+    per-sample output matches the unpadded native-N forward within the
+    documented deviation bound (BatchingServer docstring; measured
+    envelope in test_serve.py::test_pad_to_points_deviation_bound).
+    Reference behavior matched: main_evaluation.py consumes each sample
+    at its native N."""
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
+        n_head=4, slice_num=8, rotate=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    root = str(tmp_path / "buckets")
+    serve.export_point_family(root, model, variables, (x, fx),
+                              point_buckets=(N_PTS, 2 * N_PTS),
+                              batch_sizes=(1, 2))
+    bundle = ServingBundle.load(root)
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=0.01,
+                               pad_to_points=True, pipeline_depth=2)
+    httpd = serve_http.make_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    app = jax.jit(lambda v, x, fx: model.apply(v, x, fx, train=False))
+    try:
+        ns = [N_PTS - 10, N_PTS, 2 * N_PTS - 24]  # ragged; one exact
+        r = np.random.RandomState(0)
+        for n in ns:
+            xs = r.randn(n, 3).astype(np.float32)
+            fs = r.randn(n, 1).astype(np.float32)
+            out = _post_predict(base, {"arg0": xs, "arg1": fs})
+            assert out.shape == (n, 2)  # native N, padding truncated
+            native = np.asarray(app(variables, xs[None], fs[None]))[0]
+            dev = (np.linalg.norm(out - native)
+                   / np.linalg.norm(native))
+            # documented bound: <10% rel-L2 even at the worst pad
+            # fraction here (~16%); the exact-N sample is bit-exact
+            assert dev < 0.10, (n, dev)
+            if n == N_PTS:
+                np.testing.assert_allclose(out, native, rtol=2e-5,
+                                           atol=2e-5)
+        snap = srv.stats.snapshot()
+        assert snap["padded_points"] == 10 + 24, snap
+        assert snap["delivered"] == 3, snap
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        srv.close()
+
+
 def test_npz_keys_order_numerically():
     """11+ inputs: 'arg10' sorts lexicographically before 'arg2' — the
     handler must order args NUMERICALLY (ADVICE r4: sorted(z.files) was a
