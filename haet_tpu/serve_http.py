@@ -243,9 +243,16 @@ def main(argv=None):
                     help="bound one request's wait on the batcher "
                          "(504 after this)")
     ap.add_argument("--dp", type=int, default=0,
-                    help="serve a MULTI-CHIP bundle over this many "
-                         "devices (artifacts exported with mesh=; 0 = "
-                         "single-chip artifacts)")
+                    help="serve a MULTI-CHIP data-parallel bundle over "
+                         "this many devices (artifacts exported with "
+                         "mesh= and a batch data_axis; 0 = single-chip "
+                         "artifacts)")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="serve a head-TP bundle (artifacts exported "
+                         "with mesh= + data_axis=None on a model with "
+                         "shard_axes) over this many devices — each "
+                         "request, even batch-1, spans the whole mesh. "
+                         "Mutually exclusive with --dp")
     ap.add_argument("--pad_to_batch", type=int, default=-1,
                     help="1: fill aged-out partial groups by duplicating "
                          "the last sample (outputs of padded rows are "
@@ -274,16 +281,23 @@ def main(argv=None):
 
     from .export import ServingBundle
 
+    if args.dp and args.tp:
+        raise SystemExit("--dp and --tp are mutually exclusive (one mesh "
+                         "axis per serving bundle; pp x tp bundles are "
+                         "not a thing at inference)")
     mesh = None
-    if args.dp:
+    n_mesh = args.dp or args.tp
+    if n_mesh:
         import jax
         import numpy as np
         from jax.sharding import Mesh
 
-        mesh = Mesh(np.asarray(jax.devices()[:args.dp]).reshape(args.dp),
-                    ("dp",))
+        mesh = Mesh(np.asarray(jax.devices()[:n_mesh]).reshape(n_mesh),
+                    ("dp",) if args.dp else ("tp",))
     bundle = ServingBundle.load(args.bundle, mesh=mesh)
     variables = _load_variables(args.checkpoint, args.which)
+    # tp bundles replicate the batch axis, so b1 artifacts exist and lone
+    # requests never strand — only dp>1 needs the pad consent by default
     pad = (args.dp > 1 if args.pad_to_batch < 0
            else bool(args.pad_to_batch))
     with BatchingServer(bundle, variables,

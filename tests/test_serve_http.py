@@ -371,6 +371,85 @@ def test_npz_keys_order_numerically():
         httpd.server_close()
 
 
+def test_cli_tp_bundle(tmp_path):
+    """`python -m haet_tpu.serve_http --tp 4`: a head-TP b1 bundle
+    (data_axis=None, model shard_axes) served from the CLI — each
+    request spans the 4-device mesh; numerics == the plain forward."""
+    import os
+    import socket
+    import subprocess
+    import time as _time
+
+    from jax.sharding import Mesh
+
+    from haet_tpu.train.checkpoint import Checkpointer
+
+    model_tp = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
+        n_head=4, slice_num=8, rotate=0, shard_axes=(None, "tp"))
+    model_plain = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
+        n_head=4, slice_num=8, rotate=0)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("tp",))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    with mesh:
+        variables = jax.jit(model_tp.init)(jax.random.PRNGKey(0), x, fx)
+    bundle_dir = str(tmp_path / "bundle")
+    serve.export_batch_family(bundle_dir, model_tp, variables, (x, fx),
+                              batch_sizes=(1,), mesh=mesh,
+                              data_axis=None)
+    ck = Checkpointer(str(tmp_path / "run"))
+    ck.save_last(
+        {"params": jax.tree_util.tree_map(np.asarray,
+                                          variables["params"]),
+         "batch_stats": jax.tree_util.tree_map(
+             np.asarray, variables.get("batch_stats", {}))}, epoch=0)
+    ck.wait()
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, HAET_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "haet_tpu.serve_http",
+         "--bundle", bundle_dir, "--checkpoint", str(tmp_path / "run"),
+         "--which", "last", "--port", str(port), "--warmup", "1",
+         "--tp", "4"],
+        cwd=str(Path(__file__).resolve().parents[1]),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = _time.time() + 240
+        up = False
+        while _time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"server exited early:\n{proc.stdout.read()}")
+            try:
+                with urllib.request.urlopen(base + "/healthz",
+                                            timeout=5) as r:
+                    up = r.read() == b"ok"
+                    break
+            except Exception:
+                _time.sleep(0.5)
+        assert up, "server never came up"
+        xs, fs = _sample(3)
+        out = _post_predict(base, {"arg0": xs, "arg1": fs})
+        ref = model_plain.apply(variables, xs[None], fs[None],
+                                train=False)
+        np.testing.assert_allclose(out, np.asarray(ref)[0],
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
 def test_cli_end_to_end(tmp_path):
     """`python -m haet_tpu.serve_http` as a deployment would run it: a
     trained orbax checkpoint + exported bundle on disk, the server in a
