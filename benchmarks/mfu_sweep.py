@@ -85,28 +85,42 @@ def make_step(model, tx, n, use_x32=False):
     return train_step, (params, batch_stats, opt_state, x, y)
 
 
-def measure_step(train_step, args0, rounds, probe, k_lo=3, k_hi=13):
-    """(sec_per_step, probe_best_s) — interleaved differential windows."""
-    params, batch_stats, opt_state, x, y = args0
+def measure_steps(variants, rounds, probe, k_lo=3, k_hi=13):
+    """{name: sec_per_step}, probe_best_s for {name: (train_step, args0)}.
 
-    def window(k):
-        p, bs, opt = params, batch_stats, opt_state
-        t0 = time.perf_counter()
-        for _ in range(k):
-            p, bs, opt, loss = train_step(p, bs, opt, x, y)
-        float(loss)
-        return time.perf_counter() - t0
+    EVERY variant's lo/hi windows are interleaved within each round (the
+    chip is time-shared and drifts 3-10x between moments — sequential
+    A/Bs flip sign between runs; CLAUDE.md), so all reported minima come
+    from the same fastest regime.
+    """
+    def make_window(ts, a0):
+        params, batch_stats, opt_state, x, y = a0
 
-    window(1)  # compile
-    best = {k_lo: float("inf"), k_hi: float("inf")}
+        def window(k):
+            p, bs, opt = params, batch_stats, opt_state
+            t0 = time.perf_counter()
+            for _ in range(k):
+                p, bs, opt, loss = ts(p, bs, opt, x, y)
+            float(loss)
+            return time.perf_counter() - t0
+
+        return window
+
+    windows = {n: make_window(ts, a0) for n, (ts, a0) in variants.items()}
+    best = {n: {k_lo: float("inf"), k_hi: float("inf")} for n in windows}
+    for w in windows.values():
+        w(1)  # compile
     probe_best = float("inf")
     for _ in range(rounds):
         probe_best = min(probe_best, probe())
-        best[k_lo] = min(best[k_lo], window(k_lo))
-        best[k_hi] = min(best[k_hi], window(k_hi))
-    diff = best[k_hi] - best[k_lo]
-    dt = diff / (k_hi - k_lo) if diff > 0 else best[k_hi] / k_hi
-    return dt, probe_best
+        for n, w in windows.items():
+            best[n][k_lo] = min(best[n][k_lo], w(k_lo))
+            best[n][k_hi] = min(best[n][k_hi], w(k_hi))
+    out = {}
+    for n, b in best.items():
+        diff = b[k_hi] - b[k_lo]
+        out[n] = diff / (k_hi - k_lo) if diff > 0 else b[k_hi] / k_hi
+    return out, probe_best
 
 
 def step_flops(train_step, args0):
@@ -178,7 +192,9 @@ def main():
     for n in args.ns:
         model = cfg.build()
         step, a0 = make_step(model, tx, n)
-        dt, probe_best = measure_step(step, a0, args.rounds, probe)
+        res, probe_best = measure_steps({"xla": (step, a0)}, args.rounds,
+                                        probe)
+        dt = res["xla"]
         fl = step_flops(step, a0)
         probe_tflops = (PROBE_FLOPS / probe_best / 1e12
                         if np.isfinite(probe_best) else None)
@@ -202,24 +218,28 @@ def main():
 
     if args.pallas_ab and args.ns:
         n = max(args.ns)
-        # what does use_pallas="auto" resolve to at this N/G? (the model's
-        # attention module applies the threshold at trace time)
-        auto_cfg = dataclasses.replace(cfg, use_pallas="auto")
-        m_auto = auto_cfg.build()
-        attn = None
-        scale = max(0.25, 1.0 - (cfg.slice_num - 32) / 288.0)
-        thresh = int(2_000_000 * scale)  # pallas_auto_threshold default
-        auto_resolves_pallas = bool(n >= thresh and on_tpu)
+        # what use_pallas="auto" ACTUALLY resolves to at this N/G: ask
+        # the model's own attention module (its threshold + G-scaling,
+        # physics_attention._pallas_enabled) instead of duplicating the
+        # formula here — a hardcoded copy drifted once already
+        m_auto = dataclasses.replace(cfg, use_pallas="auto").build()
+        bk = m_auto.block_kwargs()
+        attn_auto = bk["attn_cls"](dim=m_auto.n_hidden,
+                                   heads=bk["num_heads"],
+                                   **bk["attn_kwargs"])
+        auto_resolves_pallas = bool(attn_auto._pallas_enabled(n))
+        thresh_base = int(attn_auto.pallas_auto_threshold)
 
         m_xla = cfg.build()
         m_pal = dataclasses.replace(cfg, use_pallas=True).build()
         step_x, a0x = make_step(m_xla, tx, n)
         step_p, a0p = make_step(m_pal, tx, n)
-        # interleave the two variants within one process (sequential A/Bs
-        # flip sign between runs on the shared chip — CLAUDE.md)
-        dt_x, pb = measure_step(step_x, a0x, args.rounds, probe)
-        dt_p, pb2 = measure_step(step_p, a0p, args.rounds, probe)
-        probe_best = min(pb, pb2)
+        # both variants' windows interleaved within each round
+        # (sequential A/Bs flip sign between runs on the shared chip)
+        res, probe_best = measure_steps(
+            {"xla": (step_x, a0x), "pallas": (step_p, a0p)},
+            args.rounds, probe)
+        dt_x, dt_p = res["xla"], res["pallas"]
         probe_tflops = (PROBE_FLOPS / probe_best / 1e12
                         if np.isfinite(probe_best) else None)
         emit({
@@ -228,7 +248,7 @@ def main():
             "sec_per_step_xla": round(dt_x, 6),
             "sec_per_step_pallas_fused": round(dt_p, 6),
             "pallas_over_xla": round(dt_p / dt_x, 3),
-            "auto_threshold_points": thresh,
+            "auto_threshold_base_points": thresh_base,
             "auto_resolves_to": ("pallas" if auto_resolves_pallas
                                  else "xla"),
             "chip_share_est": (round(min(1.0, probe_tflops / QUIET_TFLOPS),
@@ -236,7 +256,6 @@ def main():
             "platform": jax.devices()[0].platform,
             "ts": time.time(),
         })
-        del attn  # (auto model built only for threshold documentation)
 
 
 if __name__ == "__main__":

@@ -335,14 +335,19 @@ class BatchingServer:
         self._queues: dict = collections.defaultdict(collections.deque)
         self._closed = False
         # pipeline_depth>1: dispatched-but-unfetched batches ride this
-        # bounded queue to a delivery thread; the bound is the
-        # backpressure that caps how many batches are in flight
+        # queue to a delivery thread. The in-flight BOUND is the
+        # semaphore, acquired BEFORE a batch is dispatched and released
+        # when its delivery finishes — bounding the queue alone would
+        # allow pipeline_depth+1 in flight (the dispatcher would dispatch
+        # batch k+2 before blocking on the full queue).
         self._fetch_q = None
         self._delivery_thread = None
+        self._inflight = None
         if self.pipeline_depth > 1:
             import queue
 
-            self._fetch_q = queue.Queue(maxsize=self.pipeline_depth - 1)
+            self._fetch_q = queue.Queue()
+            self._inflight = threading.Semaphore(self.pipeline_depth)
             self._delivery_thread = threading.Thread(
                 target=self._delivery_loop, daemon=True,
                 name="haet-serving-delivery")
@@ -540,9 +545,17 @@ class BatchingServer:
                         self._lock.wait(timeout=wait)
                         group, wait = self._take_group()
                 _, reqs, pad_to = group
+                if self._inflight is not None:
+                    # cap dispatched-but-undelivered batches at
+                    # pipeline_depth, BEFORE dispatching this one
+                    self._inflight.acquire()
                 try:
                     out = self._dispatch_batch(reqs, pad_to)
                 except Exception as e:  # surface to every caller
+                    if self._inflight is not None:
+                        self._inflight.release()  # nothing went in flight
+                    with self.stats.lock:
+                        self.stats.delivered += len(reqs)
                     for r in reqs:
                         self._deliver(r.future, Future.set_exception, e)
                     continue
@@ -560,8 +573,9 @@ class BatchingServer:
                 else:
                     # double-buffering: hand the device output to the
                     # delivery thread and go pick the next batch NOW —
-                    # the put blocks once pipeline_depth-1 batches await
-                    # delivery (backpressure)
+                    # the semaphore acquired above blocks the NEXT
+                    # dispatch once pipeline_depth batches are in flight
+                    # (backpressure)
                     self._fetch_q.put((reqs, out))
         finally:
             # dispatcher is exiting (drain or crash): release the
@@ -598,28 +612,35 @@ class BatchingServer:
     def _finish_batch(self, reqs, out):
         """The blocking device→host fetch + per-request delivery."""
         try:
-            # fetch once for the whole batch (one device->host transfer)
-            host = jax.tree_util.tree_map(np.asarray, out)
-        except Exception as e:  # device-side failure surfaces at fetch
-            for r in reqs:
-                self._deliver(r.future, Future.set_exception, e)
-            return
-        t = time.perf_counter()
-        with self.stats.lock:
-            self.stats.delivered += len(reqs)
-            for r in reqs:
-                self.stats.latencies_s.append(t - r.t_enqueued)
-        for i, r in enumerate(reqs):
-            res = jax.tree_util.tree_map(lambda o: np.asarray(o)[i], host)
-            if r.orig_n is not None:
-                # pad_to_points: truncate the synthesized rows back off.
-                # Only leaves whose axis 0 is the padded point count are
-                # point-major; anything else passes through untouched.
-                res = jax.tree_util.tree_map(
-                    lambda o: (o[: r.orig_n]
-                               if np.ndim(o) and len(o) == r.n_padded
-                               else o), res)
-            self._deliver(r.future, Future.set_result, res)
+            try:
+                # fetch once for the whole batch (one device->host copy)
+                host = jax.tree_util.tree_map(np.asarray, out)
+            except Exception as e:  # device-side failure surfaces here
+                with self.stats.lock:
+                    self.stats.delivered += len(reqs)
+                for r in reqs:
+                    self._deliver(r.future, Future.set_exception, e)
+                return
+            t = time.perf_counter()
+            with self.stats.lock:
+                self.stats.delivered += len(reqs)
+                for r in reqs:
+                    self.stats.latencies_s.append(t - r.t_enqueued)
+            for i, r in enumerate(reqs):
+                res = jax.tree_util.tree_map(lambda o: np.asarray(o)[i],
+                                             host)
+                if r.orig_n is not None:
+                    # pad_to_points: truncate the synthesized rows back.
+                    # Only leaves whose axis 0 is the padded point count
+                    # are point-major; others pass through untouched.
+                    res = jax.tree_util.tree_map(
+                        lambda o: (o[: r.orig_n]
+                                   if np.ndim(o) and len(o) == r.n_padded
+                                   else o), res)
+                self._deliver(r.future, Future.set_result, res)
+        finally:
+            if self._inflight is not None:
+                self._inflight.release()  # this batch left the pipeline
 
     def reload(self, variables, *, warmup: bool = True):
         """Hot-swap the served checkpoint without restarting the server.

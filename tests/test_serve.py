@@ -577,7 +577,49 @@ def test_pipeline_depth_fetch_error_fails_only_its_batch():
     finally:
         srv.close()
     snap = srv.stats.snapshot()
-    assert snap["delivered"] == 1, snap  # only the good request delivered
+    # both requests got a response (one an exception): delivered counts
+    # results OR errors that reached the caller
+    assert snap["delivered"] == 2, snap
+
+
+def test_pipeline_depth_bounds_inflight_batches():
+    """At most pipeline_depth batches may be dispatched-but-undelivered
+    (regression: the queue-only bound allowed pipeline_depth+1 — the
+    dispatcher dispatched batch k+2 before blocking on the full queue)."""
+    import threading as th
+
+    gate = th.Event()
+
+    class Blocker:
+        def __array__(self):
+            gate.wait(timeout=60)  # delivery stalls until released
+            return np.zeros((1, 3), np.float32)
+
+    class StubBundle:
+        def __init__(self):
+            self.calls = 0
+
+        def shapes(self):
+            return [((1, 4),)]
+
+        def predict(self, variables, *args):
+            self.calls += 1
+            return Blocker()
+
+    stub = StubBundle()
+    srv = serve.BatchingServer(stub, None, max_delay_s=0.0,
+                               pipeline_depth=2)
+    try:
+        futs = [srv.submit(np.zeros((4,), np.float32)) for _ in range(4)]
+        time.sleep(0.3)  # give the dispatcher every chance to overrun
+        assert stub.calls == 2, stub.calls  # depth bound, not depth+1
+        gate.set()
+        for f in futs:
+            assert f.result(timeout=60).shape == (3,)
+        assert stub.calls == 4
+    finally:
+        gate.set()
+        srv.close()
 
 
 def test_pipeline_depth_validates():
