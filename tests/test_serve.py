@@ -622,6 +622,65 @@ def test_pipeline_depth_bounds_inflight_batches():
         srv.close()
 
 
+def test_stress_concurrent_cancel_reload_pipeline(bundle_env):
+    """Serving soak: concurrent client threads, random cancels, and a
+    mid-traffic reload against a pipeline_depth=3 server. Every
+    non-cancelled future must resolve to the CORRECT per-sample output
+    (reload swaps in the same weights, so outputs stay comparable while
+    the swap machinery runs under load), and the stats must reconcile."""
+    model, variables, bundle = bundle_env
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=0.001,
+                               pipeline_depth=3, max_queue=4096)
+    n_req = 48
+    lock = threading.Lock()
+    futs = {}
+    cancelled = set()
+    errs = []
+
+    def client(base):
+        try:
+            for i in range(base, base + n_req // 6):
+                f = srv.submit(*_sample(i))
+                with lock:
+                    futs[i] = f
+                if i % 7 == 3 and f.cancel():
+                    with lock:
+                        cancelled.add(i)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(k * (n_req // 6),))
+               for k in range(6)]
+    for t in threads:
+        t.start()
+    srv.reload(variables)  # same weights: exercises the swap under load
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    done = 0
+    for i, f in futs.items():
+        if i in cancelled:
+            continue
+        out = f.result(timeout=120)
+        done += 1
+        x, fx = _sample(i)
+        direct = model.apply(variables, x[None], fx[None], train=False)
+        # tolerance above b1-vs-bN reduction-order noise (measured
+        # 2.4e-5 max-abs when a request rides a b4 program) but far
+        # below a wrong-sample mix-up (O(0.1))
+        np.testing.assert_allclose(out, np.asarray(direct)[0],
+                                   rtol=5e-4, atol=5e-5)
+    assert done == n_req - len(cancelled)
+    srv.close()
+    snap = srv.stats.snapshot()
+    assert snap["requests"] == n_req
+    # every non-cancelled request was delivered (cancels may or may not
+    # have been purged before dispatch — delivered is bounded by both)
+    assert snap["delivered"] >= n_req - len(cancelled), snap
+    assert snap["delivered"] <= n_req, snap
+    assert not srv._delivery_thread.is_alive()
+
+
 def test_pipeline_depth_validates():
     with pytest.raises(ValueError, match="pipeline_depth"):
         serve.BatchingServer(object(), None, pipeline_depth=0)
