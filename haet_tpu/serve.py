@@ -68,6 +68,7 @@ def export_batch_family(
     platforms: Optional[Sequence[str]] = None,
     mesh=None,
     data_axis: str = "dp",
+    extra_manifest: Optional[dict] = None,
 ) -> str:
     """Write one AOT artifact per batch size under ``path`` (a
     :class:`~haet_tpu.export.ServingBundle` root).
@@ -100,7 +101,7 @@ def export_batch_family(
         hexport.save_artifact(
             os.path.join(path, f"b{b}_{sig_tag}"), model, variables, ex_b,
             platforms=platforms, mesh=mesh, data_axis=data_axis,
-            extra_manifest={"batch_size": b},
+            extra_manifest={"batch_size": b, **(extra_manifest or {})},
         )
     return path
 
@@ -148,7 +149,13 @@ def export_point_family(
                      for a in example_args)
         export_batch_family(path, model, variables, ex_n,
                             batch_sizes=batch_sizes, platforms=platforms,
-                            mesh=mesh, data_axis=data_axis)
+                            mesh=mesh, data_axis=data_axis,
+                            # the marker pad_to_points keys on: only
+                            # artifacts exported AS point buckets are
+                            # valid pad targets (a structured-grid family
+                            # that merely has a larger axis-1 must never
+                            # receive padded point clouds)
+                            extra_manifest={"point_bucket": n})
     return path
 
 
@@ -300,6 +307,11 @@ class BatchingServer:
         # when the bundle carries them) — wrong-dtype requests must be
         # rejected at submit, BEFORE they co-batch with valid traffic
         self._dtypes_by_sig: dict = {}
+        # signatures whose artifacts were exported AS point buckets
+        # (export_point_family stamps `point_bucket` in the manifest) —
+        # pad_to_points only pads onto these; a structured-grid family
+        # that merely has a larger axis must never receive padded clouds
+        self._point_bucket_sigs: set = set()
         for key in bundle.shapes():
             if any(len(s) == 0 for s in key):
                 continue  # scalar input: no batch axis to group over
@@ -310,6 +322,9 @@ class BatchingServer:
             self._sizes_by_sig.setdefault(sig, []).append(
                 int(batches.pop()))
             model = getattr(bundle, "_by_key", {}).get(key)
+            if (model is not None and hasattr(model, "manifest")
+                    and model.manifest.get("point_bucket") is not None):
+                self._point_bucket_sigs.add(sig)
             dts = (model.manifest.get("input_dtypes")
                    if model is not None and hasattr(model, "manifest")
                    else None)
@@ -360,15 +375,19 @@ class BatchingServer:
     # -- client side ----------------------------------------------------
 
     def _point_bucket_for(self, sig):
-        """Smallest exported signature reachable from ``sig`` by padding
-        the point axis (axis 0 of every array arg, all sharing one N), or
-        ``None``. Trailing dims must match exactly."""
+        """Smallest exported POINT-BUCKET signature reachable from ``sig``
+        by padding the point axis (axis 0 of every array arg, all sharing
+        one N), or ``None``. Trailing dims must match exactly; only
+        signatures whose artifacts carry the ``point_bucket`` manifest
+        marker (written by :func:`export_point_family`) are candidates —
+        a same-rank structured-grid family must never become a silent
+        pad target."""
         n_set = {s[0] for s in sig if len(s)}
         if len(n_set) != 1:
             return None
         n = n_set.pop()
         best = None
-        for cand in self._sizes_by_sig:
+        for cand in self._point_bucket_sigs:
             if len(cand) != len(sig):
                 continue
             np_set = {c[0] for c in cand if len(c)}
@@ -404,9 +423,15 @@ class BatchingServer:
                     for a in arrs)
                 sig = target
         if sig not in self._sizes_by_sig:
-            hint = ("" if self.pad_to_points else
-                    " (pad_to_points=True would serve smaller point "
-                    "counts through the nearest larger bucket)")
+            if self.pad_to_points:
+                hint = (" (no point-bucket artifact fits: pad_to_points "
+                        "only pads onto families exported via "
+                        "export_point_family — bucketed signatures "
+                        f"here: {sorted(self._point_bucket_sigs)})")
+            else:
+                hint = (" (pad_to_points=True would serve smaller point "
+                        "counts through the nearest larger "
+                        "export_point_family bucket)")
             raise ValueError(
                 f"no artifact family for sample signature {sig}; "
                 f"available: {sorted(self._sizes_by_sig)}{hint}")

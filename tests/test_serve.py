@@ -500,6 +500,19 @@ def test_pad_to_points_picks_smallest_bucket(point_family_env):
         assert srv.stats.snapshot()["padded_points"] == 2 * N_PTS - n
 
 
+def test_pad_to_points_ignores_unbucketed_families(bundle_env, tmp_path):
+    """Families exported WITHOUT export_point_family's point_bucket
+    marker are never pad targets: a structured-grid artifact that merely
+    has a larger axis-1 must not silently receive padded point clouds.
+    (bundle_env's family is plain export_batch_family output.)"""
+    _, variables, bundle = bundle_env
+    with serve.BatchingServer(bundle, variables,
+                              pad_to_points=True) as srv:
+        with pytest.raises(ValueError,
+                           match="no point-bucket artifact fits"):
+            srv.submit(*_ragged_sample(0, N_PTS - 8))
+
+
 def test_pad_to_points_never_truncates_larger_requests(point_family_env):
     """A request LARGER than every bucket must fail loudly — truncation
     would silently drop caller geometry."""
