@@ -90,9 +90,25 @@ def export_batch_family(
         "x".join(str(d) for d in np.shape(a)[1:])
         + "-" + np.dtype(getattr(a, "dtype", None) or np.asarray(a).dtype).name
         for a in example_args if a is not None)
-    for b in sorted(set(int(b) for b in batch_sizes)):
+    sizes = sorted(set(int(b) for b in batch_sizes))
+    for b in sizes:
         if b < 1:
             raise ValueError(f"batch sizes must be >= 1, got {b}")
+    if mesh is not None and data_axis is not None:
+        # validate EVERY size before writing anything: failing midway
+        # would leave a half-written family on disk that ServingBundle
+        # later serves silently missing sizes (and the default sizes
+        # include b1, which can never divide dp>1)
+        n_dp = int(mesh.shape[data_axis])
+        bad = [b for b in sizes if b % n_dp]
+        if bad:
+            raise ValueError(
+                f"batch sizes {bad} do not divide the '{data_axis}' "
+                f"mesh axis ({n_dp}); pass multiples of the "
+                f"data-parallel degree (e.g. batch_sizes="
+                f"{tuple(n_dp * m for m in (1, 2, 4))}), or "
+                "data_axis=None for replicated inputs (head-TP)")
+    for b in sizes:
         ex_b = tuple(
             None if a is None else np.broadcast_to(
                 np.asarray(a), (b,) + np.shape(a)[1:]).copy()
@@ -135,6 +151,13 @@ def export_point_family(
     shapes/dtypes matter for export. Every array arg must share the same
     axis-1 point count.
     """
+    for i, a in enumerate(example_args):
+        if a is not None and np.ndim(a) < 2:
+            raise ValueError(
+                f"point families need every array arg shaped [1, N, ...] "
+                f"(a shared point axis 1) — arg {i} has shape "
+                f"{np.shape(a)}; per-sample scalars/vectors cannot ride "
+                "point buckets")
     ns = {np.shape(a)[1] for a in example_args if a is not None}
     if len(ns) != 1:
         raise ValueError(
@@ -287,9 +310,17 @@ class BatchingServer:
         self.variables = variables
         # the server holds ONE checkpoint: bake it into the executables
         # (ExportedModel.bind — ~2x faster dispatch than re-marshalling
-        # the weight tree every call) when the bundle supports it.
-        self._bound = (bundle.bind(variables)
-                       if hasattr(bundle, "bind") else None)
+        # the weight tree every call) when the bundle supports it. A
+        # caller-bound BoundBundle is accepted as already weight-free
+        # (it matches the shapes()/predict duck type, but its predict
+        # takes no variables — treating it as a raw bundle would feed
+        # the weights dict in as the first input array).
+        if isinstance(bundle, hexport.BoundBundle):
+            self._bound = bundle
+        else:
+            self._bound = (bundle.bind(variables)
+                           if hasattr(bundle, "bind") else None)
+        self._validate_variables(variables)
         self.max_delay_s = float(max_delay_s)
         self.max_queue = int(max_queue)
         self.pad_to_batch = bool(pad_to_batch)
@@ -372,6 +403,20 @@ class BatchingServer:
                                         name="haet-serving-dispatcher")
         self._thread.start()
 
+    def _validate_variables(self, variables):
+        """Fail a structurally wrong checkpoint NOW, not on first
+        traffic: ServingBundle.bind is lazy (per-signature bind happens
+        on first dispatch), so without this an unconverted --pp layout
+        or a missing batch_stats collection would pass construction and
+        reload(warmup=False), then poison EVERY later request."""
+        by_key = getattr(self.bundle, "_by_key", None)
+        if not by_key:
+            return  # stub bundles without artifacts: nothing to check
+        m = next(iter(by_key.values()))
+        check = getattr(m, "_check_variables", None)
+        if check is not None:
+            check(variables)
+
     # -- client side ----------------------------------------------------
 
     def _point_bucket_for(self, sig):
@@ -382,7 +427,12 @@ class BatchingServer:
         marker (written by :func:`export_point_family`) are candidates —
         a same-rank structured-grid family must never become a silent
         pad target."""
-        n_set = {s[0] for s in sig if len(s)}
+        if any(len(s) == 0 for s in sig):
+            # a scalar arg has no point axis to pad; matching it against
+            # a rank-1 bucket entry would crash in the repeat-last-row
+            # padding (a[-1:] on 0-d) instead of rejecting cleanly
+            return None
+        n_set = {s[0] for s in sig}
         if len(n_set) != 1:
             return None
         n = n_set.pop()
@@ -503,8 +553,14 @@ class BatchingServer:
             pick, pick_t = None, None
             wait = None
             for key, q in self._queues.items():
-                while q and q[0].future.cancelled():
-                    q.popleft()
+                # purge ALL cancelled entries before the readiness math:
+                # mid-queue cancels must not inflate len(q) into a
+                # premature strand-fail or padded dispatch of a live
+                # request whose delay window hasn't elapsed
+                if any(r.future.cancelled() for r in q):
+                    alive = [r for r in q if not r.future.cancelled()]
+                    q.clear()
+                    q.extend(alive)
                 if not q:
                     continue
                 sizes = self._sizes_by_sig[key[0]]
@@ -635,7 +691,13 @@ class BatchingServer:
         return self.bundle.predict(self.variables, *args)
 
     def _finish_batch(self, reqs, out):
-        """The blocking device→host fetch + per-request delivery."""
+        """The blocking device→host fetch + per-request delivery.
+
+        Must NEVER raise: an escaped exception here kills the dispatcher
+        (or delivery) thread, stranding every queued and future request
+        with forever-pending futures — any failure is delivered to this
+        batch's callers instead.
+        """
         try:
             try:
                 # fetch once for the whole batch (one device->host copy)
@@ -651,18 +713,26 @@ class BatchingServer:
                 self.stats.delivered += len(reqs)
                 for r in reqs:
                     self.stats.latencies_s.append(t - r.t_enqueued)
-            for i, r in enumerate(reqs):
-                res = jax.tree_util.tree_map(lambda o: np.asarray(o)[i],
-                                             host)
-                if r.orig_n is not None:
-                    # pad_to_points: truncate the synthesized rows back.
-                    # Only leaves whose axis 0 is the padded point count
-                    # are point-major; others pass through untouched.
+            try:
+                for i, r in enumerate(reqs):
                     res = jax.tree_util.tree_map(
-                        lambda o: (o[: r.orig_n]
-                                   if np.ndim(o) and len(o) == r.n_padded
-                                   else o), res)
-                self._deliver(r.future, Future.set_result, res)
+                        lambda o: np.asarray(o)[i], host)
+                    if r.orig_n is not None:
+                        # pad_to_points: truncate the synthesized rows
+                        # back. Only leaves whose axis 0 is the padded
+                        # point count are point-major; others pass
+                        # through untouched.
+                        res = jax.tree_util.tree_map(
+                            lambda o: (o[: r.orig_n]
+                                       if np.ndim(o)
+                                       and len(o) == r.n_padded
+                                       else o), res)
+                    self._deliver(r.future, Future.set_result, res)
+            except Exception as e:  # per-sample split failed (e.g. an
+                # output leaf without a leading batch axis): fail THIS
+                # batch's remaining futures, keep the server alive
+                for r in reqs:
+                    self._deliver(r.future, Future.set_exception, e)
         finally:
             if self._inflight is not None:
                 self._inflight.release()  # this batch left the pipeline
@@ -678,7 +748,19 @@ class BatchingServer:
         on the old weights; requests dispatched after `reload` returns use
         the new ones. Thread-safe: the swap is a single atomic attribute
         write read once per batch by the dispatcher.
+
+        The new checkpoint's pytree STRUCTURE is validated eagerly (even
+        with ``warmup=False`` — binding is lazy per signature, so a
+        structurally wrong tree would otherwise swap in cleanly and then
+        fail every subsequent request): a bad checkpoint raises HERE and
+        the server keeps serving the old weights.
         """
+        if isinstance(self.bundle, hexport.BoundBundle):
+            raise ValueError(
+                "this server was built from a caller-bound BoundBundle "
+                "(weights already baked in); construct the BatchingServer "
+                "from the raw ServingBundle + variables to use reload()")
+        self._validate_variables(variables)
         if self._bound is None:
             self.variables = variables
             return

@@ -635,6 +635,134 @@ def test_pipeline_depth_bounds_inflight_batches():
         srv.close()
 
 
+def test_mid_queue_cancels_do_not_inflate_readiness(bundle_env, tmp_path):
+    """Cancelled mid-queue requests must not count toward readiness: 4
+    arrivals with 3 instant cancels used to mark a no-b1 family's queue
+    'full', strand-failing the live survivor before its delay window
+    elapsed."""
+    model, variables, _ = bundle_env
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    root = str(tmp_path / "no_b1")
+    serve.export_batch_family(root, model, variables, (x, fx),
+                              batch_sizes=(2, 4))
+    bundle = hexport.ServingBundle.load(root)
+    srv = serve.BatchingServer(bundle, variables, max_delay_s=60.0)
+    try:
+        futs = [srv.submit(*_sample(i)) for i in range(4)]
+        for f in futs[1:]:
+            assert f.cancel()
+        time.sleep(0.2)  # pre-fix: survivor strand-failed by now
+        assert not futs[0].done(), futs[0]
+        srv.submit(*_sample(9))  # a co-batch partner arrives in-window
+    finally:
+        srv.close(drain=True)  # drain dispatches the b2 batch
+    assert futs[0].result(timeout=30).shape == (N_PTS, 2)
+
+
+def test_delivery_failure_keeps_server_alive():
+    """An output the per-sample splitter cannot index (e.g. a scalar
+    leaf) fails THAT batch's futures — it must not kill the dispatcher
+    thread and strand later requests with forever-pending futures."""
+
+    class StubBundle:
+        def __init__(self):
+            self.calls = 0
+
+        def shapes(self):
+            return [((1, 4),)]
+
+        def predict(self, variables, *args):
+            self.calls += 1
+            if self.calls == 1:
+                return np.float32(3.0)  # 0-d: [i] raises IndexError
+            return np.zeros((1, 3), np.float32)
+
+    srv = serve.BatchingServer(StubBundle(), None, max_delay_s=0.0)
+    try:
+        bad = srv.submit(np.zeros((4,), np.float32))
+        with pytest.raises(IndexError):
+            bad.result(timeout=30)
+        ok = srv.predict(np.zeros((4,), np.float32), timeout=30)
+        assert ok.shape == (3,)
+        assert srv._thread.is_alive()
+    finally:
+        srv.close()
+
+
+def test_reload_validates_structure_eagerly(bundle_env):
+    """reload(warmup=False) with a structurally wrong checkpoint (the
+    classic: missing batch_stats) must raise THERE and keep serving the
+    old weights — binding is lazy, so without the eager check the broken
+    tree swaps in cleanly and poisons every later request."""
+    model, variables, bundle = bundle_env
+    with serve.BatchingServer(bundle, variables, max_delay_s=0.0) as srv:
+        s = _sample(0)
+        before = srv.predict(*s, timeout=60)
+        with pytest.raises(ValueError, match="variables pytree"):
+            srv.reload({"params": variables["params"]}, warmup=False)
+        after = srv.predict(*s, timeout=60)  # still the old weights
+        np.testing.assert_array_equal(before, after)
+
+
+def test_bound_bundle_is_accepted_and_reload_refused(bundle_env):
+    """A caller-bound BoundBundle duck-types shapes()/predict but takes
+    no variables — the server must use it weight-free (previously the
+    weights dict was fed in as the first input array, failing every
+    request) and must refuse reload() with a clear error."""
+    model, variables, bundle = bundle_env
+    bound = bundle.bind(variables)
+    with serve.BatchingServer(bound, None, max_delay_s=0.0) as srv:
+        s = _sample(4)
+        out = srv.predict(*s, timeout=60)
+        direct = model.apply(variables, s[0][None], s[1][None],
+                             train=False)
+        np.testing.assert_allclose(out, np.asarray(direct)[0],
+                                   rtol=2e-5, atol=2e-5)
+        with pytest.raises(ValueError, match="BoundBundle"):
+            srv.reload(variables)
+
+
+def test_pad_to_points_scalar_arg_rejected_cleanly(point_family_env):
+    """A malformed request with a scalar arg must get the ValueError, not
+    an IndexError out of the repeat-last-row padding."""
+    _, variables, bundle = point_family_env
+    with serve.BatchingServer(bundle, variables,
+                              pad_to_points=True) as srv:
+        with pytest.raises(ValueError, match="no artifact family"):
+            srv.submit(np.zeros((N_PTS - 8, 3), np.float32),
+                       np.float32(1.0))
+
+
+def test_export_batch_family_validates_mesh_sizes(bundle_env, tmp_path):
+    """mesh= with sizes that don't divide the dp degree must fail BEFORE
+    writing anything (a mid-loop failure left half-written families that
+    ServingBundle served silently missing sizes) — and the default
+    batch_sizes include b1, which never divides dp>1."""
+    import os
+
+    from jax.sharding import Mesh
+
+    model, variables, _ = bundle_env
+    x = np.zeros((2, N_PTS, 3), np.float32)
+    fx = np.zeros((2, N_PTS, 1), np.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("dp",))
+    root = str(tmp_path / "dp_family")
+    with pytest.raises(ValueError, match="do not divide"):
+        serve.export_batch_family(root, model, variables, (x, fx),
+                                  batch_sizes=(2, 3, 4), mesh=mesh)
+    assert not os.path.exists(root)  # nothing half-written
+
+
+def test_export_point_family_scalar_arg_raises(bundle_env):
+    model, variables, _ = bundle_env
+    x = np.zeros((1, N_PTS, 3), np.float32)
+    t = np.zeros((1,), np.float32)  # per-sample scalar: no point axis
+    with pytest.raises(ValueError, match="point families need"):
+        serve.export_point_family("/nonexistent", model, variables,
+                                  (x, t), point_buckets=(N_PTS,))
+
+
 def test_stress_concurrent_cancel_reload_pipeline(bundle_env):
     """Serving soak: concurrent client threads, random cancels, and a
     mid-traffic reload against a pipeline_depth=3 server. Every
