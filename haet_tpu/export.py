@@ -195,6 +195,10 @@ def _export_fn(fn, variables, args, *, platforms=None, mesh=None,
                data_axis="dp"):
     from jax import export as jexport
 
+    # normalize FrozenDict -> dict BEFORE the trace: the exported
+    # calling convention pins exact pytree types, and ExportedModel
+    # normalizes the caller's tree the same way (_as_plain_dict)
+    variables = _as_plain_dict(variables)
     if mesh is None:
         arg_specs = jax.tree_util.tree_map(
             lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype),
@@ -220,6 +224,8 @@ def _export_fn(fn, variables, args, *, platforms=None, mesh=None,
     else:
         n_dp = int(mesh.shape[data_axis])
         for a in args:
+            if np.ndim(a) == 0:
+                continue  # rank-0 conditioning inputs replicate below
             if np.shape(a)[0] % n_dp:
                 raise ValueError(
                     f"batch {np.shape(a)[0]} does not divide the "
@@ -228,15 +234,21 @@ def _export_fn(fn, variables, args, *, platforms=None, mesh=None,
                     "degree, or pass data_axis=None for replicated "
                     "inputs (model-internal sharding)")
         data_s = NamedSharding(mesh, P(data_axis))
+
+    def arg_s(a):
+        # a 0-d arg has no batch axis to shard: replicate it (P on a
+        # scalar aval is a jit error, not a friendly one)
+        return repl if np.ndim(a) == 0 else data_s
+
     spec_w = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype,
                                        sharding=repl), variables)
     spec_x = tuple(jax.ShapeDtypeStruct(np.shape(a), a.dtype,
-                                        sharding=data_s) for a in args)
+                                        sharding=arg_s(a)) for a in args)
     jf = jax.jit(fn,
                  in_shardings=(jax.tree_util.tree_map(lambda _: repl,
                                                       variables),)
-                 + tuple(data_s for _ in args),
+                 + tuple(arg_s(a) for a in args),
                  out_shardings=data_s)
     # the model's own sharding constraints (head-TP etc.) need the mesh
     # context at trace time
@@ -245,16 +257,25 @@ def _export_fn(fn, variables, args, *, platforms=None, mesh=None,
     return exported
 
 
+def _as_plain_dict(tree):
+    """Normalize Mapping nodes (flax FrozenDict) to plain dicts.
+
+    The exported calling convention pins the EXACT pytree types — a
+    FrozenDict where a dict was exported fails deep inside
+    ``exported.call`` with an opaque structural diff. Exports normalize
+    the variables tree here, and :class:`ExportedModel` normalizes the
+    caller's tree the same way, so dict/FrozenDict checkpoints are
+    interchangeable at the artifact boundary."""
+    if hasattr(tree, "items"):
+        return {k: _as_plain_dict(v) for k, v in tree.items()}
+    return tree
+
+
 def _variables_treedef_str(variables) -> str:
     # strict, matching jax.export's own calling-convention comparison
     # (even a leafless empty dict node is structure there); FrozenDict
     # normalized to dict so flax-version differences don't false-alarm
-    def to_dict(t):
-        if hasattr(t, "items"):
-            return {k: to_dict(v) for k, v in t.items()}
-        return t
-
-    return str(jax.tree_util.tree_structure(to_dict(variables)))
+    return str(jax.tree_util.tree_structure(_as_plain_dict(variables)))
 
 
 def _input_shapes(example_args) -> list[list[int]]:
@@ -262,9 +283,23 @@ def _input_shapes(example_args) -> list[list[int]]:
 
 
 def _input_dtypes(example_args) -> list[str]:
-    # the array's ACTUAL dtype (jnp.result_type would canonicalize f64 ->
-    # f32 under the default x64-disabled config and mask a mismatch)
+    # the array's ACTUAL dtype (canonicalizing here would let an f64
+    # request slip past the check and be silently downcast by jit)
     return [np.dtype(getattr(a, "dtype", None) or np.asarray(a).dtype).name
+            for a in example_args if a is not None]
+
+
+def _canonical_input_dtypes(example_args) -> list[str]:
+    """What the exported program ACTUALLY takes: jax.export traces with
+    canonicalized dtypes (f64 -> f32 under the default x64-disabled
+    config). The manifest must record these — recording the example
+    args' raw dtypes made the dtype guard reject the very f32 inputs the
+    program accepts whenever the example data happened to be f64 (the
+    numpy default)."""
+    from jax import dtypes as jdtypes
+
+    return [np.dtype(jdtypes.canonicalize_dtype(
+        getattr(a, "dtype", None) or np.asarray(a).dtype)).name
             for a in example_args if a is not None]
 
 
@@ -322,8 +357,10 @@ def save_rollout_artifact(
     )
     return _write_artifact(
         path, exported, model, variables, example_args, mesh, data_axis,
-        {"rollout_steps": int(steps), "step_width": int(step_width),
-         **(extra_manifest or {})})
+        # rollout fields AFTER caller extras: they are measured facts
+        # about the exported program, not user annotations
+        {**(extra_manifest or {}),
+         "rollout_steps": int(steps), "step_width": int(step_width)})
 
 
 def _write_artifact(path, exported, model, variables, example_args,
@@ -333,8 +370,13 @@ def _write_artifact(path, exported, model, variables, example_args,
     with open(os.path.join(path, _BLOB), "wb") as f:
         f.write(blob)
     manifest = {
+        # caller extras FIRST: the measured integrity fields below (the
+        # serving guards' ground truth) must not be silently overridable
+        **(extra_manifest or {}),
         "input_shapes": _input_shapes(example_args),
-        "input_dtypes": _input_dtypes(example_args),
+        # what the traced program ACTUALLY takes (jax.export
+        # canonicalizes, e.g. f64 example data -> an f32 program)
+        "input_dtypes": _canonical_input_dtypes(example_args),
         "platforms": list(exported.platforms),
         "model": repr(model),
         "n_arrays_variables": len(jax.tree_util.tree_leaves(variables)),
@@ -345,7 +387,6 @@ def _write_artifact(path, exported, model, variables, example_args,
         "variables_treedef": _variables_treedef_str(variables),
         "nr_devices": int(exported.nr_devices),
         **({"data_axis": data_axis} if mesh is not None else {}),
-        **(extra_manifest or {}),
     }
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -443,12 +484,18 @@ class ExportedModel:
         STRUCTURE — a checkpoint missing (or adding) subtrees, most
         commonly an empty ``batch_stats`` where the model has BatchNorm,
         would otherwise fail with an opaque structural diff deep inside
-        jax.export."""
+        jax.export. Memoized on tree identity: the unbound serving path
+        calls this per dispatch with the same checkpoint object, and the
+        treedef stringification walks the whole ~200-leaf tree."""
         want = self.manifest.get("variables_treedef")
         if want is None:
             return  # pre-0.6 artifact without the field
+        if variables is getattr(self, "_validated_variables", None):
+            return
         got = _variables_treedef_str(variables)
-        if got != want:
+        if got == want:
+            self._validated_variables = variables
+        else:
             raise ValueError(
                 "variables pytree mismatch: the artifact was exported "
                 f"with structure\n  {want}\nbut was called with\n  {got}\n"
@@ -459,14 +506,24 @@ class ExportedModel:
                 "a pipeline-layout checkpoint not converted with "
                 "parallel.pipeline.merge_raw_variables.")
 
+    def _arg_sharding(self, a):
+        # rank-0 conditioning inputs were exported replicated (no batch
+        # axis to shard); everything else rides the data sharding
+        return (self._repl_sharding if np.ndim(a) == 0
+                else self._data_sharding)
+
     def __call__(self, variables, *args):
         args = tuple(a for a in args if a is not None)
         self._check(args)
         self._check_variables(variables)
+        # exports normalize FrozenDict -> dict (the calling convention
+        # pins exact pytree types); normalize the caller's tree the same
+        # way so frozen checkpoints serve without an opaque deep error
+        variables = _as_plain_dict(variables)
         if self._mesh is None:
             return self._call(variables, *args)
         variables = self._place(variables, self._repl_sharding)
-        args = tuple(self._place(a, self._data_sharding) for a in args)
+        args = tuple(self._place(a, self._arg_sharding(a)) for a in args)
         with self._mesh:
             return self._call(variables, *args)
 
@@ -485,6 +542,7 @@ class ExportedModel:
         """
         exported = self.exported
         self._check_variables(variables)
+        variables = _as_plain_dict(variables)
         if self._mesh is not None:
             variables = self._place(variables, self._repl_sharding)
         call = jax.jit(lambda *a: exported.call(variables, *a))
@@ -494,7 +552,7 @@ class ExportedModel:
             self._check(args)
             if self._mesh is None:
                 return call(*args)
-            args = tuple(self._place(a, self._data_sharding)
+            args = tuple(self._place(a, self._arg_sharding(a))
                          for a in args)
             with self._mesh:
                 return call(*args)
@@ -528,17 +586,26 @@ class ServingBundle:
         for m in models:
             key = tuple(tuple(s) for s in m.input_shapes)
             prev = self._by_key.get(key)
-            if prev is not None and (prev.manifest.get("input_dtypes")
-                                     != m.manifest.get("input_dtypes")):
-                # dispatch is by SHAPE; two same-shape artifacts that
-                # differ in dtype would silently shadow one another —
-                # keep one dtype family per bundle root
+            if prev is not None:
+                # dispatch is by SHAPE; two artifacts with the same
+                # input signature would silently shadow one another with
+                # sorted-dir-name order deciding the winner — a plain
+                # forward next to a rollout of the same model, a stale
+                # re-export next to a fresh one, or two dtype families.
+                # Refuse loudly; keep one program per signature per root.
+                def _what(x):
+                    man = getattr(x, "manifest", {}) or {}
+                    return {k: man.get(k) for k in
+                            ("input_dtypes", "rollout_steps",
+                             "batch_size", "model") if man.get(k)
+                            is not None}
+
                 raise ValueError(
-                    f"ambiguous bundle: two artifacts share input shapes "
-                    f"{key} but differ in dtypes "
-                    f"({prev.manifest.get('input_dtypes')} vs "
-                    f"{m.manifest.get('input_dtypes')}); use a separate "
-                    "bundle root per dtype family")
+                    f"ambiguous bundle: two artifacts share the input "
+                    f"signature {key} ({_what(prev)} vs {_what(m)}); "
+                    "dispatch is by shape, so one would silently shadow "
+                    "the other — use a separate bundle root per program "
+                    "family")
             self._by_key[key] = m
 
     @classmethod
@@ -582,6 +649,14 @@ class BoundBundle:
         self._bundle = bundle
         self._variables = variables
         self._bound = {}
+
+    @property
+    def _by_key(self):
+        # forward the artifact map: BatchingServer reads manifests from
+        # it for submit-time dtype rejection, pad_to_points bucket
+        # discovery, and checkpoint-structure validation — a bound
+        # bundle must not silently lose those guards
+        return self._bundle._by_key
 
     def shapes(self):
         return self._bundle.shapes()

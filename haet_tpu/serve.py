@@ -85,11 +85,15 @@ def export_batch_family(
 
     # the tag carries shapes AND dtypes: two families with the same sample
     # shapes but different dtypes (f32 vs bf16 exports of one model) must
-    # land in distinct artifact dirs, not silently overwrite each other
+    # land in distinct artifact dirs, not silently overwrite each other.
+    # Dtypes are the CANONICALIZED ones the traced program actually takes
+    # (export._canonical_input_dtypes — f64 example data exports an f32
+    # program), matching what the manifests record.
+    dts = hexport._canonical_input_dtypes(example_args)
     sig_tag = "_".join(
-        "x".join(str(d) for d in np.shape(a)[1:])
-        + "-" + np.dtype(getattr(a, "dtype", None) or np.asarray(a).dtype).name
-        for a in example_args if a is not None)
+        "x".join(str(d) for d in np.shape(a)[1:]) + "-" + dt
+        for a, dt in zip(
+            [a for a in example_args if a is not None], dts))
     sizes = sorted(set(int(b) for b in batch_sizes))
     for b in sizes:
         if b < 1:
@@ -316,11 +320,13 @@ class BatchingServer:
         # takes no variables — treating it as a raw bundle would feed
         # the weights dict in as the first input array).
         if isinstance(bundle, hexport.BoundBundle):
+            # weights already baked in by the caller (bind validated
+            # them); the variables arg is unused for dispatch
             self._bound = bundle
         else:
             self._bound = (bundle.bind(variables)
                            if hasattr(bundle, "bind") else None)
-        self._validate_variables(variables)
+            self._validate_variables(variables)
         self.max_delay_s = float(max_delay_s)
         self.max_queue = int(max_queue)
         self.pad_to_batch = bool(pad_to_batch)

@@ -247,6 +247,92 @@ def test_multichip_dp_artifact(tmp_path):
                                ref, rtol=1e-5, atol=1e-6)
 
 
+def test_f64_example_data_records_canonical_dtypes(tmp_path):
+    """jax.export traces with canonicalized dtypes (f64 -> f32 under the
+    default config), so the manifest must record what the program
+    ACTUALLY takes: with f64 example data (the numpy default, e.g.
+    np.random.rand) the artifact must accept f32 requests and reject f64
+    ones — the old manifest recorded 'float64' and did the opposite."""
+    model, v, _, _ = _tiny()
+    x64 = np.random.RandomState(0).rand(2, 256, 3)          # float64
+    fx64 = np.random.RandomState(1).rand(2, 256, 1)
+    p = save_artifact(str(tmp_path / "art64"), model, v, (x64, fx64))
+    man = json.load(open(os.path.join(p, "manifest.json")))
+    assert man["input_dtypes"] == ["float32", "float32"], man
+    em = load_artifact(p)
+    out = em(v, x64.astype(np.float32), fx64.astype(np.float32))
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        em(v, x64, fx64)  # f64 would be silently downcast by jit
+
+
+def test_duplicate_signature_bundle_raises(tmp_path):
+    """Two artifacts with the SAME input signature under one bundle root
+    (e.g. a stale re-export left beside a fresh one, or a plain forward
+    next to a rollout of the same model) must fail loudly — dispatch is
+    by shape, so one would silently shadow the other with dir-name sort
+    order deciding the winner."""
+    model, v, x, fx = _tiny()
+    save_artifact(str(tmp_path / "a_old"), model, v, (x, fx))
+    save_artifact(str(tmp_path / "b_new"), model, v, (x, fx))
+    with pytest.raises(ValueError, match="ambiguous bundle"):
+        ServingBundle.load(str(tmp_path))
+
+
+def test_frozen_dict_checkpoint_serves(tmp_path):
+    """A FrozenDict variables tree (old-flax checkpoints) must serve
+    through an artifact exported with plain dicts: the calling
+    convention pins exact pytree types, so both sides normalize."""
+    from flax.core import freeze
+
+    model, v, x, fx = _tiny()
+    em = load_artifact(save_artifact(str(tmp_path / "art"), model, v,
+                                     (x, fx)))
+    ref = np.asarray(model.apply(v, x, fx, train=False))
+    np.testing.assert_allclose(np.asarray(em(freeze(v), x, fx)), ref,
+                               rtol=1e-5, atol=1e-6)
+    bound = em.bind(freeze(v))
+    np.testing.assert_allclose(np.asarray(bound(x, fx)), ref,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_extra_manifest_cannot_clobber_integrity_fields(tmp_path):
+    """extra_manifest is caller annotation — it must not override the
+    measured fields the serving guards validate against."""
+    model, v, x, fx = _tiny()
+    p = save_artifact(str(tmp_path / "art"), model, v, (x, fx),
+                      extra_manifest={"input_dtypes": ["bfloat16"],
+                                      "note": "mine"})
+    man = json.load(open(os.path.join(p, "manifest.json")))
+    assert man["input_dtypes"] == ["float32", "float32"]  # measured wins
+    assert man["note"] == "mine"  # the annotation still lands
+
+
+def test_multichip_scalar_arg_is_replicated(tmp_path):
+    """A rank-0 conditioning input under mesh= export replicates instead
+    of crashing the batch-divisibility check (IndexError on shape ())."""
+    import flax.linen as nn
+    from jax.sharding import Mesh
+
+    class ScaledModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, s, *, train=False):
+            w = self.param("w", nn.initializers.ones, (3,))
+            return x * w * s
+
+    model = ScaledModel()
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("dp",))
+    x = jnp.ones((4, 8, 3))
+    s = jnp.float32(2.0)
+    v = model.init(jax.random.PRNGKey(0), x, s)
+    p = save_artifact(str(tmp_path / "scal"), model, v, (x, s),
+                      mesh=mesh)
+    em = load_artifact(p, mesh=mesh)
+    out = em(v, np.ones((4, 8, 3), np.float32), np.float32(2.0))
+    np.testing.assert_allclose(np.asarray(out), 2.0 * np.ones((4, 8, 3)),
+                               rtol=1e-6)
+
+
 def test_multichip_tp_b1_artifact(tmp_path):
     """Single-sample multi-chip inference (VERDICT r4 missing #3): a
     model built with head-TP sharding constraints exports a BATCH-1

@@ -721,6 +721,23 @@ def test_bound_bundle_is_accepted_and_reload_refused(bundle_env):
                                    rtol=2e-5, atol=2e-5)
         with pytest.raises(ValueError, match="BoundBundle"):
             srv.reload(variables)
+        # the guards survive binding (BoundBundle forwards _by_key):
+        # wrong-dtype submits are still rejected BEFORE co-batching
+        x, fx = _sample(5)
+        with pytest.raises(ValueError, match="dtype mismatch"):
+            srv.submit(x.astype(np.float64), fx)
+
+
+def test_bound_point_family_keeps_pad_to_points(point_family_env):
+    """pad_to_points must work on a caller-bound bundle too — the bucket
+    markers ride the forwarded artifact map."""
+    model, variables, bundle = point_family_env
+    with serve.BatchingServer(bundle.bind(variables), None,
+                              max_delay_s=0.0,
+                              pad_to_points=True) as srv:
+        n = N_PTS - 8
+        out = srv.predict(*_ragged_sample(0, n), timeout=120)
+        assert out.shape == (n, 2)
 
 
 def test_pad_to_points_scalar_arg_rejected_cleanly(point_family_env):
