@@ -173,17 +173,35 @@ def main(args):
         if jax.tree_util.tree_leaves(state.batch_stats):
             variables["batch_stats"] = state.batch_stats
         n = int(np.shape(batch["x"])[1])
-        path = save_artifact(
-            os.path.join(args.export_artifact, f"b1_n{n}"),
-            model, variables, (batch["x"], None),
-            extra_manifest={"fold_id": args.fold_id,
-                            # provenance: where the weights actually came from
-                            "checkpoint": (
-                                f"torch:{args.torch_checkpoint}"
-                                if getattr(args, "torch_checkpoint", None)
-                                else args.which)},
-        )
-        print(f"serving artifact -> {path}")
+        provenance = {"fold_id": args.fold_id,
+                      # provenance: where the weights actually came from
+                      "checkpoint": (
+                          f"torch:{args.torch_checkpoint}"
+                          if getattr(args, "torch_checkpoint", None)
+                          else args.which)}
+        if getattr(args, "export_point_buckets", None):
+            # bucket family for RAGGED folds: real car meshes span
+            # ~29-38k points per sample (reference main_evaluation.py
+            # serves each at its native N); export one batch family per
+            # bucket so `serve_http --pad_to_points 1` covers the fold
+            # (outputs truncated back; deviation measured in
+            # docs/measurements/pad_deviation_flagship_r5.jsonl)
+            from haet_tpu.serve import export_point_family
+
+            buckets = sorted(int(b) for b in
+                             args.export_point_buckets.split(","))
+            path = export_point_family(
+                args.export_artifact, model, variables,
+                (batch["x"], None), point_buckets=buckets,
+                batch_sizes=(1, 2, 4))
+            print(f"serving point-bucket family ({buckets}) -> {path}")
+        else:
+            path = save_artifact(
+                os.path.join(args.export_artifact, f"b1_n{n}"),
+                model, variables, (batch["x"], None),
+                extra_manifest=provenance,
+            )
+            print(f"serving artifact -> {path}")
 
     if args.visualize:
         # Full reference artifact set (visualization.py:20-260): mesh +
@@ -237,5 +255,13 @@ if __name__ == "__main__":
     p.add_argument("--export_artifact", type=str, default=None,
                    help="write an AOT StableHLO serving artifact "
                         "(haet_tpu.export) to this directory")
+    p.add_argument("--export_point_buckets", type=str, default=None,
+                   help="comma-separated point counts: export a "
+                        "point-bucket batch family under "
+                        "--export_artifact instead of one exact-N "
+                        "artifact, so a RAGGED fold serves via "
+                        "serve_http --pad_to_points 1 (e.g. "
+                        "'30720,32768,34816,36864,38912' for real car "
+                        "meshes)")
     p.add_argument("--smoke", action="store_true")
     main(p.parse_args())

@@ -344,6 +344,41 @@ def test_car_eval_real_branch_with_export(tmp_path, capsys):
     assert key[0][2] == val_s[0].x.shape[-1]  # feature channels
 
 
+def test_car_eval_exports_point_bucket_family(tmp_path, capsys):
+    """car_eval --export_point_buckets: a trained checkpoint exports a
+    point-bucket batch family ready for `serve_http --pad_to_points 1` —
+    the CLI end of the ragged-fold serving story (the reference eval
+    consumes each car mesh at its native N)."""
+    import car_eval
+
+    data_dir = str(tmp_path / "training_data")
+    _build_car_dataset(data_dir)
+    art_dir = str(tmp_path / "bucket_family")
+    args = argparse.Namespace(
+        data_dir=data_dir, save_dir=None, preprocessed=False, fold_id=0,
+        checkpoint_dir=str(tmp_path / "no_ckpt"), which="best",
+        n_hidden=32, n_layers=1, slice_num=16, visualize=False,
+        max_slice_figs=None, scatter=False, out_dir=str(tmp_path / "runs"),
+        export_artifact=art_dir, export_point_buckets="512,1024",
+        smoke=True,
+    )
+    car_eval.main(args)
+    out = capsys.readouterr().out
+    assert "point-bucket family" in out
+
+    from haet_tpu.export import ServingBundle
+
+    bundle = ServingBundle.load(art_dir)
+    ns = sorted({key[0][1] for key in bundle.shapes()})
+    assert ns == [512, 1024]
+    bs = sorted({key[0][0] for key in bundle.shapes()})
+    assert bs == [1, 2, 4]
+    # every artifact carries the pad_to_points bucket marker, so a
+    # server with pad_to_points=True can pad onto these
+    for m in bundle._by_key.values():
+        assert m.manifest.get("point_bucket") in (512, 1024), m.manifest
+
+
 def _build_parity_layout(root):
     """Assemble a fetch_datasets.py-conformant layout from the committed
     fixtures (PDE subdirs as-is; the car pair replicated into a
