@@ -31,6 +31,11 @@ The checkpoint is read with :meth:`haet_tpu.train.Checkpointer.
 restore_raw`; a ``--pp`` run's stacked pipeline layout is converted
 automatically (``parallel.pipeline.merge_variables``), mirroring
 ``benchmarks/car_eval.py``.
+
+SIGTERM (what ``kill``, ``docker stop`` and kubernetes send) drains
+gracefully: the listener stops accepting, in-flight handlers finish
+(bounded by ``--request_timeout_s``), queued predictions are served,
+and the process exits 0.
 """
 
 from __future__ import annotations
@@ -190,7 +195,15 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
                 return
             self._send_json(200, {"reloaded": which})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    # Non-daemon handler threads: ``server_close()`` then JOINS any
+    # in-flight handlers (each bounded by request_timeout_s), so a
+    # shutdown() + server_close() sequence is a graceful drain instead of
+    # killing responses mid-write. Dead threads are reaped on accept
+    # (socketserver._Threads), so a long-lived server does not accumulate
+    # thread objects.
+    httpd.daemon_threads = False
+    return httpd
 
 
 def _load_variables(checkpoint: str, which: str):
@@ -319,10 +332,25 @@ def main(argv=None):
         print(f"serving {len(bundle.shapes())} artifact(s) on "
               f"http://{args.host}:{httpd.server_address[1]} "
               f"(max_delay={args.max_delay_ms} ms)")
+
+        # graceful SIGTERM (what `kill`, docker stop and kubernetes send):
+        # take the same drain path as Ctrl-C — stop accepting, join the
+        # in-flight handler threads (make_server makes them non-daemon),
+        # then the BatchingServer context manager drains its queues. The
+        # process exits 0 so orchestrators see a clean stop.
+        def _sigterm(signum, frame):
+            raise KeyboardInterrupt
+
+        try:
+            import signal
+
+            signal.signal(signal.SIGTERM, _sigterm)
+        except ValueError:
+            pass  # not the main thread (embedded use): skip the handler
         try:
             httpd.serve_forever()
         except KeyboardInterrupt:
-            pass
+            print("draining (signal received)...")
         finally:
             httpd.shutdown()
             httpd.server_close()

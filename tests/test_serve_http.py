@@ -516,3 +516,91 @@ def test_cli_end_to_end(tmp_path):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_cli_sigterm_graceful_drain(tmp_path):
+    """SIGTERM (what docker stop / kubernetes send) drains instead of
+    killing: a request queued at signal time still gets its 200, and the
+    process exits 0 so orchestrators see a clean stop."""
+    import os
+    import signal as _signal
+    import socket
+    import subprocess
+    import time as _time
+
+    from haet_tpu.train.checkpoint import Checkpointer
+
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
+        n_head=4, slice_num=8, rotate=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    bundle_dir = str(tmp_path / "bundle")
+    # largest exported batch = 4: a lone request is NOT instantly ready,
+    # so it is still queued (aging toward max_delay) when SIGTERM lands
+    serve.export_batch_family(bundle_dir, model, variables, (x, fx),
+                              batch_sizes=(1, 4))
+    ck = Checkpointer(str(tmp_path / "run"))
+    ck.save_last(
+        {"params": jax.tree_util.tree_map(np.asarray,
+                                          variables["params"]),
+         "batch_stats": jax.tree_util.tree_map(
+             np.asarray, variables.get("batch_stats", {}))}, epoch=0)
+    ck.wait()
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, HAET_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "haet_tpu.serve_http",
+         "--bundle", bundle_dir, "--checkpoint", str(tmp_path / "run"),
+         "--which", "last", "--port", str(port), "--warmup", "1",
+         "--max_delay_ms", "800"],
+        cwd=str(Path(__file__).resolve().parents[1]),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = _time.time() + 240
+        up = False
+        while _time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"server exited early:\n{proc.stdout.read()}")
+            try:
+                with urllib.request.urlopen(base + "/healthz",
+                                            timeout=5) as r:
+                    up = r.read() == b"ok"
+                    break
+            except Exception:
+                _time.sleep(0.5)
+        assert up, "server never came up"
+
+        xs, fs = _sample(7)
+        result = {}
+
+        def post():
+            try:
+                result["out"] = _post_predict(base, {"arg0": xs,
+                                                     "arg1": fs})
+            except Exception as e:  # surfaced by the main thread
+                result["err"] = e
+
+        t = threading.Thread(target=post)
+        t.start()
+        _time.sleep(0.3)  # request is in the batcher's delay window
+        proc.send_signal(_signal.SIGTERM)
+        t.join(timeout=120)
+        assert not t.is_alive(), "client never got a response"
+        assert "err" not in result, f"drained request failed: {result}"
+        ref = model.apply(variables, xs[None], fs[None], train=False)
+        np.testing.assert_allclose(result["out"], np.asarray(ref)[0],
+                                   rtol=2e-5, atol=2e-5)
+        rc = proc.wait(timeout=60)
+        assert rc == 0, f"expected clean exit after drain, got {rc}"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait(timeout=30)
