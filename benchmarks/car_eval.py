@@ -193,7 +193,7 @@ def main(args):
             path = export_point_family(
                 args.export_artifact, model, variables,
                 (batch["x"], None), point_buckets=buckets,
-                batch_sizes=(1, 2, 4))
+                batch_sizes=(1, 2, 4), extra_manifest=provenance)
             print(f"serving point-bucket family ({buckets}) -> {path}")
         else:
             path = save_artifact(

@@ -137,6 +137,7 @@ def export_point_family(
     platforms: Optional[Sequence[str]] = None,
     mesh=None,
     data_axis: str = "dp",
+    extra_manifest: Optional[dict] = None,
 ) -> str:
     """:func:`export_batch_family` over POINT-COUNT buckets: one batch
     family per N in ``point_buckets``, all under one bundle root.
@@ -167,6 +168,10 @@ def export_point_family(
         raise ValueError(
             f"example args disagree on the point axis (axis 1): {ns}")
     n0 = ns.pop()
+    if extra_manifest and "point_bucket" in extra_manifest:
+        raise ValueError(
+            "extra_manifest key 'point_bucket' is reserved (it is the "
+            "marker pad_to_points keys on)")
     for n in sorted(set(int(n) for n in point_buckets)):
         if n < 1:
             raise ValueError(f"point buckets must be >= 1, got {n}")
@@ -182,7 +187,8 @@ def export_point_family(
                             # valid pad targets (a structured-grid family
                             # that merely has a larger axis-1 must never
                             # receive padded point clouds)
-                            extra_manifest={"point_bucket": n})
+                            extra_manifest={**(extra_manifest or {}),
+                                            "point_bucket": n})
     return path
 
 

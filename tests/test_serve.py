@@ -780,6 +780,35 @@ def test_export_point_family_scalar_arg_raises(bundle_env):
                                   (x, t), point_buckets=(N_PTS,))
 
 
+def test_export_point_family_extra_manifest(bundle_env, tmp_path):
+    """Caller manifest extras (e.g. car_eval's checkpoint provenance)
+    must land in every bucket's manifests alongside the point_bucket
+    marker; the marker key itself is reserved."""
+    import glob
+    import json
+    import os
+
+    model, variables, _ = bundle_env
+    x = np.zeros((1, N_PTS, 3), np.float32)
+    fx = np.zeros((1, N_PTS, 1), np.float32)
+    with pytest.raises(ValueError, match="reserved"):
+        serve.export_point_family(
+            str(tmp_path / "nope"), model, variables, (x, fx),
+            point_buckets=(N_PTS,), batch_sizes=(1,),
+            extra_manifest={"point_bucket": 7})
+    root = str(tmp_path / "fam")
+    serve.export_point_family(root, model, variables, (x, fx),
+                              point_buckets=(N_PTS,), batch_sizes=(1,),
+                              extra_manifest={"checkpoint": "best",
+                                              "fold_id": 3})
+    manifests = glob.glob(os.path.join(root, "*", "manifest.json"))
+    assert manifests
+    for m in manifests:
+        rec = json.load(open(m))
+        assert rec["checkpoint"] == "best" and rec["fold_id"] == 3
+        assert rec["point_bucket"] == N_PTS
+
+
 def test_stress_concurrent_cancel_reload_pipeline(bundle_env):
     """Serving soak: concurrent client threads, random cancels, and a
     mid-traffic reload against a pipeline_depth=3 server. Every
