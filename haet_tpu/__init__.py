@@ -24,6 +24,6 @@ Public API mirrors the reference ``models`` package
 ... )
 """
 
-__version__ = "0.7.0"
+__version__ = "0.7.1"
 
 from . import data, export, models, ops, parallel, serve, train, utils  # noqa: F401,E402

@@ -479,18 +479,27 @@ class ExportedModel:
                     "explicitly (no implicit casts at the serving "
                     "boundary).")
 
-    def _check_variables(self, variables):
+    def _check_variables(self, variables, *, force: bool = False):
         """The exported calling convention also pins the variables pytree
         STRUCTURE — a checkpoint missing (or adding) subtrees, most
         commonly an empty ``batch_stats`` where the model has BatchNorm,
         would otherwise fail with an opaque structural diff deep inside
         jax.export. Memoized on tree identity: the unbound serving path
         calls this per dispatch with the same checkpoint object, and the
-        treedef stringification walks the whole ~200-leaf tree."""
+        treedef stringification walks the whole ~200-leaf tree (~0.4 ms —
+        real money against a ~3 ms dispatch). Identity memoization cannot
+        see IN-PLACE structural mutation of the validated dict, so
+        :meth:`__call__` re-runs this with ``force=True`` whenever the
+        deep call fails (the curated message still surfaces, just after
+        the failure instead of before). The memo holds at most one
+        checkpoint generation per artifact and is overwritten on the next
+        validation."""
         want = self.manifest.get("variables_treedef")
         if want is None:
             return  # pre-0.6 artifact without the field
-        if variables is getattr(self, "_validated_variables", None):
+        if (not force
+                and variables is getattr(self, "_validated_variables",
+                                         None)):
             return
         got = _variables_treedef_str(variables)
         if got == want:
@@ -519,13 +528,25 @@ class ExportedModel:
         # exports normalize FrozenDict -> dict (the calling convention
         # pins exact pytree types); normalize the caller's tree the same
         # way so frozen checkpoints serve without an opaque deep error
+        raw_variables = variables
         variables = _as_plain_dict(variables)
-        if self._mesh is None:
-            return self._call(variables, *args)
-        variables = self._place(variables, self._repl_sharding)
-        args = tuple(self._place(a, self._arg_sharding(a)) for a in args)
-        with self._mesh:
-            return self._call(variables, *args)
+        try:
+            if self._mesh is None:
+                return self._call(variables, *args)
+            variables = self._place(variables, self._repl_sharding)
+            args = tuple(self._place(a, self._arg_sharding(a))
+                         for a in args)
+            with self._mesh:
+                return self._call(variables, *args)
+        except Exception:
+            # the identity memo in _check_variables cannot see in-place
+            # structural mutation of a previously-validated dict; before
+            # surfacing a deep jax.export failure, re-validate for real —
+            # if the structure drifted, raise the curated message instead
+            # of the opaque structural diff
+            self._validated_variables = None
+            self._check_variables(raw_variables, force=True)
+            raise
 
     def bind(self, variables):
         """Pre-bind ``variables``: returns ``fn(*args)`` with the weights

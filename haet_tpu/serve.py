@@ -69,6 +69,7 @@ def export_batch_family(
     mesh=None,
     data_axis: str = "dp",
     extra_manifest: Optional[dict] = None,
+    _point_bucket: Optional[int] = None,
 ) -> str:
     """Write one AOT artifact per batch size under ``path`` (a
     :class:`~haet_tpu.export.ServingBundle` root).
@@ -89,6 +90,18 @@ def export_batch_family(
     # Dtypes are the CANONICALIZED ones the traced program actually takes
     # (export._canonical_input_dtypes — f64 example data exports an f32
     # program), matching what the manifests record.
+    if extra_manifest:
+        # these two are the family's integrity/marker fields: batch_size
+        # is measured per artifact below, and point_bucket is the
+        # pad_to_points validity marker only export_point_family may
+        # stamp (via the private _point_bucket channel) — letting extras
+        # set either would mark arbitrary families as pad targets or
+        # mislabel their true batch size
+        reserved = {"batch_size", "point_bucket"} & set(extra_manifest)
+        if reserved:
+            raise ValueError(
+                f"extra_manifest keys {sorted(reserved)} are reserved "
+                "(measured/marker fields of the family itself)")
     dts = hexport._canonical_input_dtypes(example_args)
     sig_tag = "_".join(
         "x".join(str(d) for d in np.shape(a)[1:]) + "-" + dt
@@ -118,10 +131,14 @@ def export_batch_family(
                 np.asarray(a), (b,) + np.shape(a)[1:]).copy()
             for a in example_args
         )
+        extra = dict(extra_manifest or {})
+        extra["batch_size"] = b  # measured: always wins over extras
+        if _point_bucket is not None:
+            extra["point_bucket"] = int(_point_bucket)
         hexport.save_artifact(
             os.path.join(path, f"b{b}_{sig_tag}"), model, variables, ex_b,
             platforms=platforms, mesh=mesh, data_axis=data_axis,
-            extra_manifest={"batch_size": b, **(extra_manifest or {})},
+            extra_manifest=extra,
         )
     return path
 
@@ -182,13 +199,13 @@ def export_point_family(
         export_batch_family(path, model, variables, ex_n,
                             batch_sizes=batch_sizes, platforms=platforms,
                             mesh=mesh, data_axis=data_axis,
+                            extra_manifest=extra_manifest,
                             # the marker pad_to_points keys on: only
                             # artifacts exported AS point buckets are
                             # valid pad targets (a structured-grid family
                             # that merely has a larger axis-1 must never
                             # receive padded point clouds)
-                            extra_manifest={**(extra_manifest or {}),
-                                            "point_bucket": n})
+                            _point_bucket=n)
     return path
 
 
@@ -326,9 +343,14 @@ class BatchingServer:
         # takes no variables — treating it as a raw bundle would feed
         # the weights dict in as the first input array).
         if isinstance(bundle, hexport.BoundBundle):
-            # weights already baked in by the caller (bind validated
-            # them); the variables arg is unused for dispatch
+            # weights already baked in by the caller; the variables arg
+            # is unused for dispatch. ServingBundle.bind is LAZY (each
+            # signature binds on its first dispatch), so the bound
+            # checkpoint has NOT been validated yet — run the same eager
+            # structural check as the unbound path, or a bad tree would
+            # pass construction and poison every later request.
             self._bound = bundle
+            self._validate_variables(bundle._variables)
         else:
             self._bound = (bundle.bind(variables)
                            if hasattr(bundle, "bind") else None)

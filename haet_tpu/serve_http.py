@@ -20,6 +20,11 @@ data):
 * ``GET /shapes`` — JSON: the single-sample signatures served.
 * ``GET /stats`` — JSON: request/dispatch counters and the batch-size
   histogram.
+* ``GET /metrics`` — the same counters in the Prometheus text
+  exposition format (``haet_requests_total``, dispatch/delivery
+  counters, padding counters, queue-wait gauge, latency quantiles and
+  the per-batch-size dispatch counter), so a scrape target needs no
+  JSON adapter.
 
 CLI::
 
@@ -61,6 +66,53 @@ def _npz_bytes(**arrays) -> bytes:
     return buf.getvalue()
 
 
+def _prometheus_text(snap: dict) -> str:
+    """Render a :meth:`haet_tpu.serve.ServerStats.snapshot` dict in the
+    Prometheus text exposition format (one scrape = one snapshot; the
+    snapshot is taken under the stats lock, so the exposed family is
+    internally consistent)."""
+    lines = []
+
+    def metric(name, mtype, help_, samples):
+        lines.append(f"# HELP {name} {help_}")
+        lines.append(f"# TYPE {name} {mtype}")
+        for labels, val in samples:
+            lines.append(f"{name}{labels} {val}")
+
+    metric("haet_requests_total", "counter",
+           "Requests accepted by submit().",
+           [("", snap["requests"])])
+    metric("haet_dispatches_total", "counter",
+           "Device batches dispatched.",
+           [("", snap["dispatches"])])
+    metric("haet_delivered_total", "counter",
+           "Request results (or errors) delivered to callers.",
+           [("", snap["delivered"])])
+    metric("haet_padded_samples_total", "counter",
+           "Samples synthesized by pad_to_batch (outputs discarded).",
+           [("", snap["padded_samples"])])
+    metric("haet_padded_points_total", "counter",
+           "Points synthesized by pad_to_points (output rows truncated).",
+           [("", snap["padded_points"])])
+    metric("haet_mean_queue_wait_seconds", "gauge",
+           "Mean submit->dispatch wait over dispatched requests.",
+           [("", snap["mean_queue_wait_s"])])
+    hist = snap["batch_histogram"]
+    if hist:
+        metric("haet_batch_size_dispatches_total", "counter",
+               "Dispatches by device batch size.",
+               [('{size="%s"}' % size, count)
+                for size, count in sorted(hist.items())])
+    quants = [(q, snap[k]) for q, k in (("0.5", "latency_p50_s"),
+                                        ("0.95", "latency_p95_s"))
+              if snap[k] is not None]
+    if quants:
+        metric("haet_request_latency_seconds", "summary",
+               "Submit->result latency (rolling window).",
+               [('{quantile="%s"}' % q, v) for q, v in quants])
+    return "\n".join(lines) + "\n"
+
+
 def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
                 port: int = 8000, *,
                 request_timeout_s: float = 300.0,
@@ -84,6 +136,17 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
     reload_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
+        # Bound EVERY socket read (request line, headers, bodies,
+        # keep-alive idle). Without it a silent client — half-open LB
+        # probe, a POST whose Content-Length body never arrives — pins
+        # its handler thread in rfile.read() forever, and because the
+        # threads are non-daemon (see below), server_close() would then
+        # join forever and the graceful SIGTERM drain never finishes.
+        # socketserver applies this via connection.settimeout();
+        # BaseHTTPRequestHandler maps a timed-out read to
+        # close_connection, so the thread exits cleanly.
+        timeout = request_timeout_s
+
         # one log line per request is noise at serving rates
         def log_message(self, fmt, *args):  # noqa: D102
             pass
@@ -107,6 +170,10 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
                     [list(s) for s in sig] for sig in sigs]})
             elif self.path == "/stats":
                 self._send_json(200, batching_server.stats.snapshot())
+            elif self.path == "/metrics":
+                body = _prometheus_text(batching_server.stats.snapshot())
+                self._send(200, body.encode(),
+                           "text/plain; version=0.0.4; charset=utf-8")
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
 

@@ -744,6 +744,73 @@ class Trainer:
         logger: Optional[MetricsLogger] = None,
         checkpointer: Optional["Checkpointer"] = None,
         eval_every: int = 1,
+        stop_event: Optional["threading.Event"] = None,
+    ) -> TrainState:
+        """``stop_event``: optional :class:`threading.Event`; when set,
+        the loop finishes the in-flight step, saves ``last`` (the last
+        COMPLETED epoch's number — resume re-runs the interrupted epoch
+        with the newer params; step-indexed schedules continue exactly)
+        and returns the current state. Checked once per batch, so the
+        stop granularity is one step (``train_steps=K`` scans stop at K).
+
+        Without an explicit event, ``TrainConfig(preempt_save=True)``
+        (the default) arms the same mechanism on SIGTERM — the signal
+        SLURM, kubernetes and TPU-VM maintenance events send before the
+        hard kill: save first, then re-deliver the signal so the process
+        still exits through the normal path (typically code 143). At
+        most one batch of progress is lost to a preemption. Multi-host
+        note: each process saves on ITS signal; preemption notices go to
+        every host, and orbax's save is itself a cross-process
+        collective, so all processes must receive the signal (standard
+        for pod maintenance / job cancellation)."""
+        import signal
+        import threading
+
+        did_install = False
+        prev_handler = None
+        if stop_event is None and getattr(self.cfg, "preempt_save", True):
+            _ev = threading.Event()
+
+            def _on_sigterm(signum, frame):
+                _ev.set()
+                print("[Trainer] SIGTERM: finishing the in-flight step, "
+                      "saving 'last', then exiting...", flush=True)
+
+            try:
+                prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+                did_install = True
+                stop_event = _ev
+            except ValueError:
+                pass  # not the main thread: no signal hook, run plain
+        self._preempted = False
+        try:
+            return self._fit_loop(
+                state, train_batches, eval_batches, epochs=epochs,
+                rng=rng, logger=logger, checkpointer=checkpointer,
+                eval_every=eval_every, stop_event=stop_event)
+        finally:
+            if did_install:
+                # restore on EVERY exit (incl. exceptions) — a leaked
+                # handler would set a dead event and swallow SIGTERM
+                signal.signal(signal.SIGTERM, prev_handler)
+                if self._preempted:
+                    # save-then-die: 'last' is finalized (the loop
+                    # waits); re-deliver so the process exits through
+                    # the normal signal path (typically code 143)
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+    def _fit_loop(
+        self,
+        state: TrainState,
+        train_batches,
+        eval_batches,
+        *,
+        epochs,
+        rng,
+        logger,
+        checkpointer,
+        eval_every,
+        stop_event,
     ) -> TrainState:
         epochs = epochs if epochs is not None else self.cfg.epochs
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
@@ -774,6 +841,10 @@ class Trainer:
             train_metrics = []
             watch_batch = None
             for i, batch in enumerate(train_batches()):
+                if stop_event is not None and stop_event.is_set():
+                    # preemption/stop: the in-flight step already
+                    # finished; save below and leave
+                    break
                 # Pin the probe batch only when watching is on — otherwise
                 # a full (possibly 1M+-point) batch would stay alive the
                 # whole epoch for nothing.
@@ -803,6 +874,21 @@ class Trainer:
                         "batch/eta_seconds":
                             timer.times[-1] * max(0, self.total_steps - step_no),
                     })
+            if stop_event is not None and stop_event.is_set():
+                # Stop requested (SIGTERM preemption or a programmatic
+                # stop_event). Save 'last' under the last COMPLETED
+                # epoch's number: resume re-runs this interrupted epoch
+                # from its start with the newer (mid-epoch) params —
+                # step-indexed schedules continue exactly, and at most
+                # one batch of progress is lost.
+                self._preempted = True
+                if checkpointer is not None:
+                    checkpointer.save_last(state, epoch - 1)
+                    checkpointer.wait()
+                logger.log({"epoch": epoch, "preempted": True,
+                            "step": int(state.step)})
+                self._resume_epoch = epoch - 1
+                return state
             if not train_metrics and epoch == start_epoch:
                 print("[Trainer] WARNING: train_batches yielded no batches "
                       "(batch size larger than the dataset?)")

@@ -144,6 +144,13 @@ class TrainConfig:
     # per-epoch mean training loss goes NaN/Inf — a diverged run cannot
     # recover and would otherwise burn the remaining epochs silently
     stop_on_nonfinite: bool = True
+    # preemption-safe training: fit() installs a SIGTERM handler (what
+    # `kill`, SLURM, kubernetes and TPU-VM maintenance events send) that
+    # finishes the in-flight step, saves 'last', THEN re-delivers the
+    # signal — the process still dies, but never loses more than one
+    # batch of progress. Ignored when fit() is given an explicit
+    # stop_event or runs off the main thread.
+    preempt_save: bool = True
 
 
 @dataclass

@@ -39,7 +39,11 @@ def _run(name):
     with _exclusive():
         r = subprocess.run(
             [sys.executable, os.path.join(EXAMPLES, name)],
-            capture_output=True, text=True, timeout=540, env=env,
+            # generous: the flock serializes examples against each other,
+            # but it cannot stop OTHER suites' compile jobs (or a bench on
+            # the same box) from starving this subprocess of CPU — 540 s
+            # was observed to trip under a 6-way oversubscribed machine
+            capture_output=True, text=True, timeout=900, env=env,
         )
     assert r.returncode == 0, f"{name} failed:\n{r.stdout}\n{r.stderr}"
     return r.stdout

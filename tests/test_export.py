@@ -568,3 +568,25 @@ def test_rollout_export_validates_window_and_out_dim(tmp_path):
         export_rollout(model, v, (pos, fx0[..., :1]), steps=2)
     with pytest.raises(ValueError, match="steps"):
         export_rollout(model, v, (pos, fx0), steps=0)
+
+
+def test_inplace_mutation_still_surfaces_curated_error(tmp_path):
+    """_check_variables memoizes on tree identity (the treedef walk is
+    ~0.4 ms); in-place STRUCTURAL mutation of the already-validated dict
+    slips past that memo, so the deep jax.export failure must be
+    translated back into the curated message on the way out."""
+
+    def plain(t):
+        return ({k: plain(v) for k, v in t.items()}
+                if hasattr(t, "items") else t)
+
+    model, v, x, fx = _tiny()
+    em = load_artifact(save_artifact(str(tmp_path / "art"), model, v,
+                                     (x, fx)))
+    pv = plain(v)
+    np.asarray(em(pv, x, fx))  # validates + memoizes this object
+    dropped = pv.pop("batch_stats")  # mutate the SAME dict in place
+    with pytest.raises(ValueError, match="variables pytree mismatch"):
+        em(pv, x, fx)
+    pv["batch_stats"] = dropped  # restore -> serves again
+    np.asarray(em(pv, x, fx))

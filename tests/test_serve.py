@@ -924,3 +924,29 @@ def test_mean_queue_wait_counts_only_dispatched():
             srv.stats.queue_wait_s_total / 1)
     finally:
         srv.close()
+
+
+def test_export_batch_family_reserved_extras(bundle_env, tmp_path):
+    """batch_size is measured per artifact and point_bucket is the
+    pad_to_points validity marker — caller extras must not be able to
+    clobber the one or inject the other (a structured-grid family
+    stamped as a point bucket would become a silent pad target)."""
+    model, variables, _ = bundle_env
+    x = np.zeros((1, N_PTS, 3), np.float32)
+    fx = np.zeros((1, N_PTS, 1), np.float32)
+    for bad in ({"batch_size": 4}, {"point_bucket": N_PTS}):
+        with pytest.raises(ValueError, match="reserved"):
+            serve.export_batch_family(
+                str(tmp_path / "nope"), model, variables, (x, fx),
+                batch_sizes=(1,), extra_manifest=bad)
+
+
+def test_bound_bundle_construction_validates_structure(bundle_env):
+    """ServingBundle.bind is LAZY (per-signature bind on first
+    dispatch), so a caller-bound BoundBundle over a structurally wrong
+    checkpoint must be caught at BatchingServer construction — not on
+    the first request of every signature."""
+    _, variables, bundle = bundle_env
+    bad = bundle.bind({"params": variables["params"]})  # no batch_stats
+    with pytest.raises(ValueError, match="variables pytree"):
+        serve.BatchingServer(bad, None)

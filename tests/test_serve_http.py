@@ -10,6 +10,7 @@ import io
 import json
 import sys
 import threading
+import time
 import urllib.error
 import urllib.request
 from pathlib import Path
@@ -604,3 +605,57 @@ def test_cli_sigterm_graceful_drain(tmp_path):
         if proc.poll() is None:
             proc.kill()
         proc.wait(timeout=30)
+
+
+def test_drain_not_blocked_by_silent_client(http_env):
+    """A connected-but-silent client (half-open LB probe, a POST whose
+    body never arrives) must not pin its non-daemon handler thread
+    forever: Handler.timeout bounds every socket read, so a fresh
+    shutdown()+server_close() drain completes. Without it server_close()
+    joins that thread indefinitely and SIGTERM drains hang."""
+    import socket
+
+    model, variables, base, srv = http_env
+    httpd = serve_http.make_server(srv, "127.0.0.1", 0,
+                                   request_timeout_s=1.0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    stuck = socket.create_connection(("127.0.0.1", port))
+    try:
+        # half a request: headers promise a body that never comes
+        stuck.sendall(b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+                      b"Content-Length: 100000\r\n\r\n")
+        time.sleep(0.2)  # let the handler block in rfile.read
+        done = threading.Event()
+
+        def drain():
+            httpd.shutdown()
+            httpd.server_close()
+            done.set()
+
+        threading.Thread(target=drain, daemon=True).start()
+        assert done.wait(timeout=10), (
+            "graceful drain hung on a silent client connection")
+    finally:
+        stuck.close()
+
+
+def test_metrics_prometheus_exposition(http_env):
+    """GET /metrics mirrors /stats in the Prometheus text format — a
+    scrape target with no JSON adapter. Counters appear with HELP/TYPE
+    headers and the batch histogram carries size labels."""
+    model, variables, base, srv = http_env
+    x, fx = _sample(21)
+    _post_predict(base, {"arg0": x, "arg1": fx})
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    assert "# TYPE haet_requests_total counter" in body
+    # at least one request has been delivered by this point
+    total = [ln for ln in body.splitlines()
+             if ln.startswith("haet_requests_total ")]
+    assert total and float(total[0].split()[-1]) >= 1
+    assert 'haet_batch_size_dispatches_total{size="' in body
+    assert "haet_request_latency_seconds{quantile=\"0.5\"}" in body

@@ -1147,3 +1147,123 @@ def test_consecutive_fits_continue_epoch_numbering(tmp_path):
                         logger=Cap(), checkpointer=ck)
     assert [r["epoch"] for r in logged if "epoch" in r] == [2, 3]
     assert ck.epoch_of("last", int(state.step)) == 3
+
+
+def test_stop_event_saves_last_and_resumes(tmp_path):
+    """fit(stop_event=...) finishes the in-flight step, saves 'last'
+    under the last COMPLETED epoch's number (-1 when none), and a
+    resume re-runs the interrupted epoch with the newer mid-epoch
+    params — the step count (and so step-indexed schedules) carries
+    through exactly."""
+    import threading
+
+    trainer = _make_trainer(total_steps=14)
+    d = _data(n=8)
+    ev = threading.Event()
+
+    def batches():
+        for i in range(4):
+            if i == 2:  # set while yielding the 3rd batch: 2 steps run
+                ev.set()
+            yield d
+
+    ck = Checkpointer(str(tmp_path / "ck"))
+    state = trainer.init_state(jax.random.PRNGKey(0), d)
+    out = trainer.fit(state, batches, checkpointer=ck, epochs=3,
+                      stop_event=ev)
+    assert int(out.step) == 2  # the in-flight step completed, then stop
+    assert ck.epoch_of("last", step=2) == -1  # no epoch completed yet
+
+    t2 = _make_trainer(total_steps=14)
+    s2 = t2.init_state(jax.random.PRNGKey(0), d)
+    s2 = t2.maybe_restore(s2, ck)
+    assert int(s2.step) == 2
+    out2 = t2.fit(s2, lambda: iter([d] * 4), checkpointer=ck, epochs=3)
+    # the interrupted epoch 0 re-ran in full: 3 epochs x 4 batches
+    assert int(out2.step) == 2 + 12
+    assert ck.epoch_of("last", int(out2.step)) == 2
+
+
+def test_sigterm_preempt_saves_then_dies(tmp_path):
+    """TrainConfig(preempt_save=True) — the default — makes SIGTERM
+    mid-training save a resumable 'last' checkpoint and THEN re-deliver
+    the signal, so the process still exits through the normal signal
+    path (no progress lost beyond the in-flight batch)."""
+    import os
+    import signal as _signal
+    import subprocess
+    import sys
+    import time as _time
+    from pathlib import Path
+
+    ckdir = str(tmp_path / "ck")
+    worker = tmp_path / "worker.py"
+    repo_root = str(Path(__file__).resolve().parents[1])
+    worker.write_text(
+        "import os\n"
+        "import sys\n"
+        f"sys.path.insert(0, {repo_root!r})\n"
+        "os.environ['HAET_PLATFORM'] = 'cpu'\n"
+        "from haet_tpu.utils.env import apply_platform_override\n"
+        "apply_platform_override()\n"
+        "import time\n"
+        "import numpy as np, jax, jax.numpy as jnp\n"
+        "from flax import linen as nn\n"
+        "from haet_tpu.train import Trainer, Checkpointer\n"
+        "from haet_tpu.utils.config import TrainConfig\n"
+        "class M(nn.Module):\n"
+        "    @nn.compact\n"
+        "    def __call__(self, x, train=False):\n"
+        "        return nn.Dense(1)(x)\n"
+        "cfg = TrainConfig(lr=1e-1, epochs=100, batch_size=8,\n"
+        "                  schedule='constant', weight_decay=0.0)\n"
+        "tr = Trainer(model=M(),\n"
+        "             loss_fn=lambda o, b: (jnp.mean((o - b['y'])**2),\n"
+        "                                   dict()),\n"
+        "             cfg=cfg, total_steps=10000,\n"
+        "             batch_args=lambda b: (b['x'],))\n"
+        "r = np.random.RandomState(0)\n"
+        "b = dict(x=r.randn(8, 4).astype(np.float32),\n"
+        "         y=r.randn(8, 1).astype(np.float32))\n"
+        "state = tr.init_state(jax.random.PRNGKey(0), b)\n"
+        f"ck = Checkpointer({ckdir!r})\n"
+        "def batches():\n"
+        "    for _ in range(10000):\n"
+        "        print('STEPPING', flush=True)\n"
+        "        time.sleep(0.05)\n"
+        "        yield b\n"
+        "tr.fit(state, batches, checkpointer=ck, epochs=100)\n"
+        "print('NOT_REACHED', flush=True)\n")
+    # unbuffered: the 'preempted=1' log line must reach the pipe before
+    # the redelivered SIGTERM kills the interpreter
+    env = dict(os.environ, HAET_PLATFORM="cpu", PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(
+        [sys.executable, str(worker)],
+        cwd=str(Path(__file__).resolve().parents[1]),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    try:
+        # wait for real training steps (blocking readline; EOF on death)
+        seen = False
+        for _ in range(10000):
+            line = proc.stdout.readline()
+            if not line:
+                break
+            if "STEPPING" in line:
+                seen = True
+                break
+        assert seen, f"worker never stepped:\n{proc.stderr.read()}"
+        _time.sleep(0.2)
+        proc.send_signal(_signal.SIGTERM)
+        out, err = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    # died through the redelivered signal, not a clean return
+    assert proc.returncode == -_signal.SIGTERM, (proc.returncode, err)
+    assert "NOT_REACHED" not in out
+    assert "preempted=1" in out, out
+    # the checkpoint behind it is complete and resumable
+    ck = Checkpointer(ckdir)
+    raw = ck.restore_raw("last")
+    assert raw is not None and "params" in raw
