@@ -129,6 +129,14 @@ with tempfile.TemporaryDirectory() as root:
         print(f"ragged {N - 16}-point request served through the "
               f"{N} bucket (padded_points="
               f"{srv.stats.snapshot()['padded_points']})")
+
+        # --- Prometheus scrape: same counters, text exposition ----------
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as resp:
+            metrics = resp.read().decode()
+        assert "haet_requests_total" in metrics
+        line = next(ln for ln in metrics.splitlines()
+                    if ln.startswith("haet_requests_total "))
+        print(f"GET /metrics scrape OK ({line})")
         httpd.shutdown()
         httpd.server_close()
 

@@ -64,4 +64,5 @@ def test_multichip_example():
 def test_serving_example():
     out = _run("serving.py")
     assert "HTTP predict == direct apply" in out
+    assert "GET /metrics scrape OK" in out
     assert "serving tour OK" in out
