@@ -143,8 +143,10 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
         # threads are non-daemon (see below), server_close() would then
         # join forever and the graceful SIGTERM drain never finishes.
         # socketserver applies this via connection.settimeout();
-        # BaseHTTPRequestHandler maps a timed-out read to
-        # close_connection, so the thread exits cleanly.
+        # BaseHTTPRequestHandler maps a timed-out request-LINE read to
+        # close_connection, and the body reads below answer 408 and
+        # close explicitly — either way the thread exits after at most
+        # one timeout, so the drain is bounded by request_timeout_s.
         timeout = request_timeout_s
 
         # one log line per request is noise at serving rates
@@ -186,7 +188,17 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
-                with np.load(io.BytesIO(self.rfile.read(length))) as z:
+                raw = self.rfile.read(length)
+            except TimeoutError:
+                # the promised body never arrived (half-open client):
+                # answer 408 and CLOSE — a kept-alive connection would
+                # make a graceful drain wait a second full timeout on
+                # the next request-line read
+                self.close_connection = True
+                self._send_json(408, {"error": "request body timed out"})
+                return
+            try:
+                with np.load(io.BytesIO(raw)) as z:
                     # validate the KEY SET, not a sorted list —
                     # lexicographic order puts 'arg10' before 'arg2'
                     expect = [f"arg{i}" for i in range(len(z.files))]
@@ -246,6 +258,11 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length) if length else b""
+            except TimeoutError:
+                self.close_connection = True  # see do_POST: drain bound
+                self._send_json(408, {"error": "request body timed out"})
+                return
+            try:
                 which = (json.loads(body).get("which", "best")
                          if body.strip() else "best")
             except Exception as e:

@@ -758,30 +758,45 @@ class Trainer:
         SLURM, kubernetes and TPU-VM maintenance events send before the
         hard kill: save first, then re-deliver the signal so the process
         still exits through the normal path (typically code 143). At
-        most one batch of progress is lost to a preemption. Multi-host
-        note: each process saves on ITS signal; preemption notices go to
-        every host, and orbax's save is itself a cross-process
-        collective, so all processes must receive the signal (standard
-        for pod maintenance / job cancellation)."""
+        most one batch of progress is lost to a preemption. The handler
+        is only installed in SINGLE-process runs: per-process signals
+        land at different batch indices, and a process breaking into the
+        (collective) orbax save while its peers still psum the next step
+        deadlocks both — multi-host preemption needs an
+        orchestrator-level barrier, so there fit() leaves SIGTERM alone
+        and relies on the normal per-epoch ``last`` saves. The same
+        caveat applies to a caller-provided ``stop_event`` under
+        multi-host: set it at a synchronized point on every process or
+        not at all."""
         import signal
         import threading
 
         did_install = False
         prev_handler = None
+        _ev = None
         if stop_event is None and getattr(self.cfg, "preempt_save", True):
-            _ev = threading.Event()
+            if jax.process_count() > 1:
+                print("[Trainer] preempt_save: multi-process run — "
+                      "leaving SIGTERM alone (per-process stop points "
+                      "would desynchronize the collectives); resume "
+                      "from the per-epoch 'last' saves instead.",
+                      flush=True)
+            else:
+                _ev = threading.Event()
 
-            def _on_sigterm(signum, frame):
-                _ev.set()
-                print("[Trainer] SIGTERM: finishing the in-flight step, "
-                      "saving 'last', then exiting...", flush=True)
+                def _on_sigterm(signum, frame):
+                    _ev.set()
+                    print("[Trainer] SIGTERM: finishing the in-flight "
+                          "step, saving 'last', then exiting...",
+                          flush=True)
 
-            try:
-                prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
-                did_install = True
-                stop_event = _ev
-            except ValueError:
-                pass  # not the main thread: no signal hook, run plain
+                try:
+                    prev_handler = signal.signal(signal.SIGTERM,
+                                                 _on_sigterm)
+                    did_install = True
+                    stop_event = _ev
+                except ValueError:
+                    _ev = None  # not the main thread: run plain
         self._preempted = False
         try:
             return self._fit_loop(
@@ -791,12 +806,22 @@ class Trainer:
         finally:
             if did_install:
                 # restore on EVERY exit (incl. exceptions) — a leaked
-                # handler would set a dead event and swallow SIGTERM
-                signal.signal(signal.SIGTERM, prev_handler)
-                if self._preempted:
-                    # save-then-die: 'last' is finalized (the loop
-                    # waits); re-deliver so the process exits through
-                    # the normal signal path (typically code 143)
+                # handler would set a dead event and swallow SIGTERM.
+                # prev_handler is None when the prior handler was
+                # installed from C (signal-module contract); None is not
+                # a valid argument to signal.signal, so fall back to the
+                # default disposition.
+                signal.signal(signal.SIGTERM,
+                              prev_handler if prev_handler is not None
+                              else signal.SIG_DFL)
+                if _ev is not None and _ev.is_set():
+                    # save-then-die: re-deliver so the process exits
+                    # through the normal signal path (typically 143).
+                    # Keyed on the EVENT, not on whether the loop broke:
+                    # a signal landing during the final epoch's eval/
+                    # checkpoint tail exits the loop normally (that
+                    # epoch's 'last' is already saved) but must not be
+                    # swallowed.
                     os.kill(os.getpid(), signal.SIGTERM)
 
     def _fit_loop(
@@ -840,10 +865,17 @@ class Trainer:
             timer = StepTimer()
             train_metrics = []
             watch_batch = None
+            interrupted = False
             for i, batch in enumerate(train_batches()):
                 if stop_event is not None and stop_event.is_set():
                     # preemption/stop: the in-flight step already
-                    # finished; save below and leave
+                    # finished; save below and leave. The flag (not a
+                    # re-read of the event) distinguishes a real break
+                    # from the event being set during the epoch's LAST
+                    # batch — there the loop exhausts normally and the
+                    # fully-completed epoch must run its eval/checkpoint
+                    # tail (the next epoch's first check stops the run).
+                    interrupted = True
                     break
                 # Pin the probe batch only when watching is on — otherwise
                 # a full (possibly 1M+-point) batch would stay alive the
@@ -874,7 +906,7 @@ class Trainer:
                         "batch/eta_seconds":
                             timer.times[-1] * max(0, self.total_steps - step_no),
                     })
-            if stop_event is not None and stop_event.is_set():
+            if interrupted:
                 # Stop requested (SIGTERM preemption or a programmatic
                 # stop_event). Save 'last' under the last COMPLETED
                 # epoch's number: resume re-runs this interrupted epoch

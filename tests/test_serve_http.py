@@ -637,6 +637,17 @@ def test_drain_not_blocked_by_silent_client(http_env):
         threading.Thread(target=drain, daemon=True).start()
         assert done.wait(timeout=10), (
             "graceful drain hung on a silent client connection")
+        # the stuck client got an explicit 408 and the connection was
+        # closed after ONE timeout (not silently kept alive for a
+        # second request-line timeout)
+        stuck.settimeout(5)
+        data = b""
+        while True:
+            chunk = stuck.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+        assert b"408" in data.split(b"\r\n", 1)[0], data[:120]
     finally:
         stuck.close()
 

@@ -1267,3 +1267,32 @@ def test_sigterm_preempt_saves_then_dies(tmp_path):
     ck = Checkpointer(ckdir)
     raw = ck.restore_raw("last")
     assert raw is not None and "params" in raw
+
+
+def test_stop_event_on_last_batch_counts_epoch_complete(tmp_path):
+    """A stop that lands during an epoch's LAST batch must not mislabel
+    the fully-completed epoch as interrupted: the epoch runs its normal
+    tail ('last' saved under ITS number), and the run stops at the next
+    epoch's first batch — resume must not redo a finished epoch (that
+    would push step-indexed schedules past total_steps)."""
+    import threading
+
+    trainer = _make_trainer(total_steps=8)
+    d = _data(n=8)
+    ev = threading.Event()
+
+    def batches():
+        for i in range(4):
+            yield d
+        # runs when the loop asks for a 5th batch: the event is set
+        # AFTER the last step completed, exactly as a signal landing
+        # during the final batch's device step would
+        ev.set()
+
+    ck = Checkpointer(str(tmp_path / "ck"))
+    state = trainer.init_state(jax.random.PRNGKey(0), d)
+    out = trainer.fit(state, batches, checkpointer=ck, epochs=2,
+                      stop_event=ev)
+    # all 4 batches of epoch 0 ran; epoch 1 stopped before its 1st step
+    assert int(out.step) == 4
+    assert ck.epoch_of("last", step=4) == 0  # epoch 0 COMPLETED
