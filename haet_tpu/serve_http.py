@@ -35,7 +35,9 @@ CLI::
 The checkpoint is read with :meth:`haet_tpu.train.Checkpointer.
 restore_raw`; a ``--pp`` run's stacked pipeline layout is converted
 automatically (``parallel.pipeline.merge_variables``), mirroring
-``benchmarks/car_eval.py``.
+``benchmarks/car_eval.py``. ``--watch_checkpoint SECS`` polls the run's
+sidecar and hot-reloads ``--which`` whenever it advances (hands-free
+retrain→deploy through the same zero-downtime ``/reload`` path).
 
 SIGTERM (what ``kill``, ``docker stop`` and kubernetes send) drains
 gracefully: the listener stops accepting, in-flight handlers finish
@@ -57,7 +59,7 @@ import numpy as np
 
 from .serve import BatchingServer
 
-__all__ = ["make_server", "main"]
+__all__ = ["make_server", "main", "watch_checkpoint"]
 
 
 def _npz_bytes(**arrays) -> bytes:
@@ -290,6 +292,50 @@ def make_server(batching_server: BatchingServer, host: str = "127.0.0.1",
     return httpd
 
 
+def watch_checkpoint(base_url: str, checkpoint: str, which: str,
+                     interval_s: float, stop) -> None:
+    """Poll a training run's checkpoint sidecar and POST ``/reload``
+    whenever the named checkpoint advances — hands-free
+    retrain→deploy. Runs until ``stop`` (a ``threading.Event``) is set.
+
+    The stamp is the ``epochs.json`` entry for ``which`` (every
+    ``Checkpointer.save_*`` records ``{epoch, step}`` there), so an
+    unrelated save (e.g. a new ``last`` while serving ``best``) does not
+    trigger a pointless recompile-reload. Reload failures are logged and
+    retried on the next poll: ``save_last`` finalizes asynchronously, so
+    a reload can race a half-written checkpoint — the old weights keep
+    serving, and the stamp only advances after a reload succeeds.
+    """
+    import os as _os
+    import urllib.request as _rq
+
+    def stamp():
+        try:
+            with open(_os.path.join(checkpoint, "epochs.json")) as f:
+                ent = json.load(f).get(which)
+            return json.dumps(ent, sort_keys=True) if ent else None
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    served = stamp()  # whatever main() loaded at startup
+    while not stop.wait(interval_s):
+        cur = stamp()
+        if cur is None or cur == served:
+            continue
+        try:
+            req = _rq.Request(base_url + "/reload",
+                              data=json.dumps({"which": which}).encode(),
+                              method="POST")
+            with _rq.urlopen(req, timeout=600) as r:
+                r.read()
+            served = cur
+            print(f"[serve_http] checkpoint '{which}' advanced -> "
+                  f"reloaded ({cur})", flush=True)
+        except Exception as e:  # half-written save, transient IO: retry
+            print(f"[serve_http] auto-reload failed (will retry next "
+                  f"poll): {e}", flush=True)
+
+
 def _load_variables(checkpoint: str, which: str):
     from .train.checkpoint import Checkpointer
 
@@ -368,6 +414,11 @@ def main(argv=None):
                          "truncated back; NOT output-exact — see "
                          "BatchingServer docs); 0 (default): exact-N "
                          "signatures only")
+    ap.add_argument("--watch_checkpoint", type=float, default=0.0,
+                    help="poll the checkpoint's sidecar every this many "
+                         "seconds and hot-reload --which when it "
+                         "advances (hands-free retrain->deploy; 0 = "
+                         "off). Failures keep the old weights and retry")
     ap.add_argument("--pipeline_depth", type=int, default=2,
                     help="batches in flight at once; 2 (default) "
                          "overlaps the next batch's assembly+dispatch "
@@ -431,11 +482,22 @@ def main(argv=None):
             signal.signal(signal.SIGTERM, _sigterm)
         except ValueError:
             pass  # not the main thread (embedded use): skip the handler
+        watch_stop = threading.Event()
+        if args.watch_checkpoint > 0:
+            base = f"http://127.0.0.1:{httpd.server_address[1]}"
+            threading.Thread(
+                target=watch_checkpoint,
+                args=(base, args.checkpoint, args.which,
+                      args.watch_checkpoint, watch_stop),
+                daemon=True, name="haet-ckpt-watch").start()
+            print(f"watching '{args.which}' under {args.checkpoint} "
+                  f"every {args.watch_checkpoint} s")
         try:
             httpd.serve_forever()
         except KeyboardInterrupt:
             print("draining (signal received)...")
         finally:
+            watch_stop.set()  # no reload mid-drain
             httpd.shutdown()
             httpd.server_close()
 

@@ -670,3 +670,84 @@ def test_metrics_prometheus_exposition(http_env):
     assert total and float(total[0].split()[-1]) >= 1
     assert 'haet_batch_size_dispatches_total{size="' in body
     assert "haet_request_latency_seconds{quantile=\"0.5\"}" in body
+
+
+def test_watch_checkpoint_auto_reloads(tmp_path):
+    """watch_checkpoint: the server hot-reloads through its own /reload
+    when the WATCHED checkpoint name advances in the run's sidecar —
+    and ignores saves of other names (serving 'last' while a new 'best'
+    lands must not trigger a pointless recompile-reload)."""
+    from haet_tpu.train.checkpoint import Checkpointer
+
+    model = HAETransolver_Irregular_Mesh(
+        space_dim=3, fun_dim=1, out_dim=2, n_layers=1, n_hidden=32,
+        n_head=4, slice_num=8, rotate=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N_PTS, 3))
+    fx = jax.random.normal(jax.random.PRNGKey(2), (1, N_PTS, 1))
+    v1 = jax.jit(model.init)(jax.random.PRNGKey(0), x, fx)
+    v2 = jax.jit(model.init)(jax.random.PRNGKey(99), x, fx)
+
+    def tree(v):
+        return jax.tree_util.tree_map(np.asarray, {
+            "params": v["params"],
+            "batch_stats": v.get("batch_stats", {})})
+
+    ckdir = str(tmp_path / "run")
+    ck = Checkpointer(ckdir)
+    ck.save_last(tree(v1), epoch=0)
+    ck.wait()
+
+    root = str(tmp_path / "bundle")
+    serve.export_batch_family(root, model, v1, (x, fx), batch_sizes=(1,))
+    bundle = ServingBundle.load(root)
+    srv = serve.BatchingServer(
+        bundle, serve_http._load_variables(ckdir, "last"),
+        max_delay_s=0.0)
+    reloads = []
+
+    def reload_fn(which):
+        srv.reload(serve_http._load_variables(ckdir, which))
+        reloads.append(which)
+
+    httpd = serve_http.make_server(srv, "127.0.0.1", 0,
+                                   reload_fn=reload_fn)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    stop = threading.Event()
+    wt = threading.Thread(target=serve_http.watch_checkpoint,
+                          args=(base, ckdir, "last", 0.1, stop),
+                          daemon=True)
+    wt.start()
+    xs, fs = _sample(7)
+    ref1 = np.asarray(model.apply(v1, xs[None], fs[None],
+                                  train=False))[0]
+    ref2 = np.asarray(model.apply(v2, xs[None], fs[None],
+                                  train=False))[0]
+    try:
+        # a save under ANOTHER name must not reload the watched one
+        ck.save_best(tree(v2), val_loss=1.0, epoch=0)
+        ck.wait()
+        time.sleep(0.6)
+        np.testing.assert_allclose(
+            _post_predict(base, {"arg0": xs, "arg1": fs}), ref1,
+            rtol=2e-5, atol=2e-5)
+        assert reloads == []
+
+        # advancing 'last' flips the served weights, hands-free
+        ck.save_last(tree(v2), epoch=1)
+        ck.wait()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            out = _post_predict(base, {"arg0": xs, "arg1": fs})
+            if np.allclose(out, ref2, rtol=2e-5, atol=2e-5):
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError(f"auto-reload never landed: {reloads}")
+        assert reloads == ["last"]
+    finally:
+        stop.set()
+        wt.join(timeout=30)
+        httpd.shutdown()
+        httpd.server_close()
+        srv.close()
